@@ -1,0 +1,101 @@
+"""Unit tests for DoReFa quantizers (reference: ``test_dorefa_connect.py``,
+SURVEY.md §4; math spec arXiv:1606.06160 eq. 5/8/9/10/12)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_quantize_impls_tpu import ops
+
+
+def test_quantize_k_grid_values():
+    # k=2 -> grid {0, 1/3, 2/3, 1}
+    x = jnp.array([0.0, 0.1, 0.17, 0.5, 0.9, 1.0])
+    expect = jnp.round(x * 3) / 3
+    np.testing.assert_allclose(ops.quantize_k(x, 2), expect, rtol=1e-6)
+
+
+def test_quantize_k_identity_ste():
+    x = jnp.array([0.1, 0.4, 0.9])
+    g = jax.grad(lambda x: jnp.sum(ops.quantize_k(x, 3)))(x)
+    np.testing.assert_allclose(g, jnp.ones(3))
+
+
+def test_quantize_k_32bit_passthrough():
+    x = jnp.array([0.123, 0.456])
+    np.testing.assert_array_equal(ops.quantize_k(x, 32), x)
+
+
+def test_weight_range_and_grid():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
+    k = 4
+    wq = ops.dorefa_weight(w, k)
+    assert float(wq.min()) >= -1.0 and float(wq.max()) <= 1.0
+    # values on the grid 2*i/(2^k-1) - 1
+    n = 2**k - 1
+    codes = (np.asarray(wq) + 1) / 2 * n
+    np.testing.assert_allclose(codes, np.round(codes), atol=1e-4)
+
+
+def test_weight_k1_is_scaled_sign():
+    w = jnp.array([[0.5, -0.25], [1.0, -2.0]])
+    wq = ops.dorefa_weight(w, 1)
+    e = float(jnp.mean(jnp.abs(w)))
+    np.testing.assert_allclose(
+        wq, e * jnp.array([[1.0, -1.0], [1.0, -1.0]]), rtol=1e-6
+    )
+
+
+def test_weight_gradient_flows_through_tanh():
+    # Gradient should include d tanh/dw (not pure identity STE).
+    w = jnp.array([0.1, 1.0, 3.0])
+    g = jax.grad(lambda w: jnp.sum(ops.dorefa_weight(w, 4)))(w)
+    assert float(jnp.abs(g[0])) > float(jnp.abs(g[2]))  # tanh saturates
+
+
+def test_activation_clip_and_grid():
+    x = jnp.array([-0.5, 0.2, 0.6, 1.7])
+    aq = ops.dorefa_activation(x, 2)
+    np.testing.assert_allclose(aq, jnp.array([0.0, 1 / 3, 2 / 3, 1.0]), rtol=1e-5)
+    g = jax.grad(lambda x: jnp.sum(ops.dorefa_activation(x, 2)))(x)
+    # zero gradient outside [0, 1]
+    np.testing.assert_allclose(g, jnp.array([0.0, 1.0, 1.0, 0.0]))
+
+
+def test_gradient_quant_forward_identity():
+    x = jnp.array([1.0, -2.0, 3.0])
+    out = ops.dorefa_gradient(x, jax.random.PRNGKey(0), 6)
+    np.testing.assert_array_equal(out, x)
+
+
+def test_gradient_quant_backward_statistics():
+    # E[quantized grad] ≈ grad (stochastic rounding is unbiased-ish); and
+    # the quantized grad stays within ~2M of the true grad scale.
+    k = 6
+    x = jnp.zeros((5000,))
+    g_up = jax.random.normal(jax.random.PRNGKey(7), (5000,))
+
+    def f(x, key):
+        return jnp.sum(ops.dorefa_gradient(x, key, k) * g_up)
+
+    g = jax.grad(f)(x, jax.random.PRNGKey(3))
+    m = float(jnp.max(jnp.abs(g_up)))
+    err = np.asarray(g - g_up)
+    # quantization step is 2M/(2^k-1); stochastic noise adds ~1 step
+    assert np.abs(err).max() <= 2.5 * 2 * m / (2**k - 1)
+    assert abs(err.mean()) < 0.01
+
+
+def test_quantizers_factory():
+    q = ops.dorefa_quantizers(w_bits=1, a_bits=2, g_bits=32)
+    w = jnp.array([0.5, -0.5])
+    assert q["weight"](w).shape == w.shape
+    np.testing.assert_allclose(q["activation"](jnp.array([0.4])), jnp.array([1 / 3]))
+
+
+def test_weight_idempotent_on_grid():
+    w = jax.random.normal(jax.random.PRNGKey(1), (32,))
+    wq = ops.dorefa_weight(w, 3)
+    wqq = ops.dorefa_weight(wq, 3)
+    np.testing.assert_allclose(wq, wqq, atol=2e-2)
