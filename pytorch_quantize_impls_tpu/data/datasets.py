@@ -1,0 +1,131 @@
+"""Dataset loaders: real MNIST/CIFAR-10 from disk when available, otherwise
+deterministic synthetic stand-ins (see package docstring).
+
+Real-data formats:
+* MNIST — the four idx files (``train-images-idx3-ubyte`` etc., optionally
+  ``.gz``) under ``$QTPU_DATA_DIR/mnist/``.
+* CIFAR-10 — the python pickle batches (``data_batch_1..5``, ``test_batch``)
+  under ``$QTPU_DATA_DIR/cifar-10-batches-py/``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+Batch = Tuple[np.ndarray, np.ndarray]
+
+DATA_DIR_ENV = "QTPU_DATA_DIR"
+
+
+def _data_dir() -> Optional[Path]:
+    d = os.environ.get(DATA_DIR_ENV)
+    return Path(d) if d else None
+
+
+def _open_maybe_gz(path: Path):
+    gz = path.with_name(path.name + ".gz")
+    if path.exists():
+        return open(path, "rb")
+    if gz.exists():
+        return gzip.open(gz, "rb")
+    raise FileNotFoundError(path)
+
+
+def _read_idx(path: Path) -> np.ndarray:
+    with _open_maybe_gz(path) as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(dims)
+
+
+def synthetic_image_classification(
+    shape: Tuple[int, ...],
+    num_classes: int,
+    n_train: int,
+    n_test: int,
+    *,
+    seed: int = 0,
+    noise: float = 0.7,
+) -> Tuple[Batch, Batch]:
+    """Learnable synthetic task: per-class fixed random template + Gaussian
+    noise, normalized to roughly zero-mean/unit-var like real image inputs."""
+    rng = np.random.default_rng(seed)
+    templates = rng.normal(size=(num_classes, *shape)).astype(np.float32)
+
+    def make(n, seed2):
+        r = np.random.default_rng(seed2)
+        y = r.integers(0, num_classes, size=n)
+        x = templates[y] + noise * r.normal(size=(n, *shape)).astype(np.float32)
+        return x.astype(np.float32), y.astype(np.int32)
+
+    return make(n_train, seed + 1), make(n_test, seed + 2)
+
+
+def mnist(flatten: bool = False) -> Tuple[Batch, Batch]:
+    """(train, test) MNIST; real data if on disk, else synthetic 28x28x1."""
+    d = _data_dir()
+    if d and (d / "mnist").exists():
+        m = d / "mnist"
+        xtr = _read_idx(m / "train-images-idx3-ubyte").astype(np.float32) / 255.0
+        ytr = _read_idx(m / "train-labels-idx1-ubyte").astype(np.int32)
+        xte = _read_idx(m / "t10k-images-idx3-ubyte").astype(np.float32) / 255.0
+        yte = _read_idx(m / "t10k-labels-idx1-ubyte").astype(np.int32)
+        xtr, xte = xtr[..., None], xte[..., None]
+        xtr, xte = (xtr - 0.1307) / 0.3081, (xte - 0.1307) / 0.3081
+    else:
+        (xtr, ytr), (xte, yte) = synthetic_image_classification(
+            (28, 28, 1), 10, 12800, 2560, seed=0
+        )
+    if flatten:
+        xtr = xtr.reshape(len(xtr), -1)
+        xte = xte.reshape(len(xte), -1)
+    return (xtr, ytr), (xte, yte)
+
+
+def cifar10() -> Tuple[Batch, Batch]:
+    """(train, test) CIFAR-10 NHWC; real data if on disk, else synthetic."""
+    d = _data_dir()
+    if d and (d / "cifar-10-batches-py").exists():
+        c = d / "cifar-10-batches-py"
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(c / f"data_batch_{i}", "rb") as f:
+                b = pickle.load(f, encoding="bytes")
+            xs.append(b[b"data"])
+            ys.append(b[b"labels"])
+        xtr = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        ytr = np.concatenate(ys).astype(np.int32)
+        with open(c / "test_batch", "rb") as f:
+            b = pickle.load(f, encoding="bytes")
+        xte = np.asarray(b[b"data"]).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        yte = np.asarray(b[b"labels"], dtype=np.int32)
+        mean = np.array([0.4914, 0.4822, 0.4465], np.float32)
+        std = np.array([0.247, 0.243, 0.261], np.float32)
+        xtr = (xtr.astype(np.float32) / 255.0 - mean) / std
+        xte = (xte.astype(np.float32) / 255.0 - mean) / std
+        return (xtr, ytr), (xte, yte)
+    return synthetic_image_classification((32, 32, 3), 10, 12800, 2560, seed=1)
+
+
+def iterate_batches(
+    data: Batch, batch_size: int, *, seed: int = 0, epochs: Optional[int] = None
+) -> Iterator[Batch]:
+    """Shuffled batch iterator (drops the ragged tail batch for static shapes
+    — XLA-friendly; the reference's DataLoader pads instead)."""
+    x, y = data
+    n = len(x) // batch_size * batch_size
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        perm = np.random.default_rng(seed + epoch).permutation(len(x))[:n]
+        for i in range(0, n, batch_size):
+            idx = perm[i : i + batch_size]
+            yield x[idx], y[idx]
+        epoch += 1

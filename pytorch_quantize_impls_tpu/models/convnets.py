@@ -1,0 +1,95 @@
+"""XNOR-Net convnet and log-quant VGG-small for CIFAR-10
+(BASELINE configs 3 and 5).
+
+``XNORConvNet``: VGG-ish stack of XNOR convs (per-out-channel alpha, binary
+weights; hidden convs also binarize inputs — full XNOR mode, arXiv:1603.05279).
+``LogQuantVGGSmall``: VGG-small with power-of-2 weights (arXiv:1603.01025),
+lowered to shift-based matmul at inference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as fnn
+
+from pytorch_quantize_impls_tpu import nn as qnn
+
+
+class XNORConvNet(fnn.Module):
+    """BASELINE config 3: XNOR conv net with per-channel alpha, CIFAR-10."""
+
+    classes: int = 10
+    widths: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+    quantized: bool = True
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        for i, w in enumerate(self.widths):
+            binarize_input = i > 0  # first conv sees real pixels
+            if self.quantized:
+                x = qnn.XNORConv(
+                    features=w,
+                    kernel_size=(3, 3),
+                    binarize_input=binarize_input,
+                    use_bias=False,
+                    name=f"conv{i}",
+                )(x, train=train)
+            else:
+                x = fnn.Conv(
+                    features=w, kernel_size=(3, 3), use_bias=False, name=f"conv{i}"
+                )(x)
+            x = fnn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+            if i % 2 == 1:
+                x = fnn.max_pool(x, (2, 2), strides=(2, 2))
+            if not self.quantized:
+                x = fnn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        if self.quantized:
+            x = qnn.XNORLinear(features=self.classes, name="head")(x, train=train)
+        else:
+            x = fnn.Dense(features=self.classes, name="head")(x)
+        return x
+
+
+class LogQuantVGGSmall(fnn.Module):
+    """BASELINE config 5: power-of-2 weight VGG-small, CIFAR-10.
+
+    fsr=1 weights (domain ±2) with ``bits``-bit exponents; activations stay
+    fp (weights-only quantization, as in the log-quant paper's CIFAR runs).
+    """
+
+    classes: int = 10
+    widths: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+    bits: int = 4
+    fsr: float = 1.0
+    quantized: bool = True
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        for i, w in enumerate(self.widths):
+            if self.quantized:
+                x = qnn.ConvQuantLog(
+                    features=w,
+                    kernel_size=(3, 3),
+                    fsr=self.fsr,
+                    bits=self.bits,
+                    use_bias=False,
+                    name=f"conv{i}",
+                )(x, train=train)
+            else:
+                x = fnn.Conv(
+                    features=w, kernel_size=(3, 3), use_bias=False, name=f"conv{i}"
+                )(x)
+            x = fnn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+            x = fnn.relu(x)
+            if i % 2 == 1:
+                x = fnn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape((x.shape[0], -1))
+        if self.quantized:
+            x = qnn.LinearQuantLog(
+                features=self.classes, fsr=self.fsr, bits=self.bits, name="head"
+            )(x, train=train)
+        else:
+            x = fnn.Dense(features=self.classes, name="head")(x)
+        return x

@@ -1,0 +1,103 @@
+"""DoReFa ResNet-20 for CIFAR-10 (BASELINE config 4: W4A4).
+
+Standard CIFAR ResNet-20 (3 stages x 3 basic blocks, widths 16/32/64) with
+DoReFa k-bit weight and activation quantization (arXiv:1606.06160). Following
+DoReFa practice, the first conv and the final classifier stay full-precision;
+activation quantization clips to [0, 1], so it follows BatchNorm -> ReLU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.linen as fnn
+import jax.numpy as jnp
+
+from pytorch_quantize_impls_tpu import nn as qnn
+from pytorch_quantize_impls_tpu import ops
+
+
+class _BasicBlock(fnn.Module):
+    features: int
+    strides: int = 1
+    w_bits: int = 4
+    a_bits: int = 4
+    quantized: bool = True
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        def conv(f, s, name):
+            if self.quantized:
+                return partial(
+                    qnn.DorefaConv(
+                        features=f,
+                        kernel_size=(3, 3),
+                        strides=(s, s),
+                        bits=self.w_bits,
+                        use_bias=False,
+                        name=name,
+                    ),
+                    train=train,
+                )
+            return fnn.Conv(
+                features=f, kernel_size=(3, 3), strides=(s, s), use_bias=False,
+                name=name,
+            )
+
+        def act(h):
+            h = fnn.relu(h)
+            if self.quantized and self.a_bits:
+                h = ops.dorefa_activation(h, self.a_bits)
+            return h
+
+        residual = x
+        y = conv(self.features, self.strides, "conv1")(x)
+        y = fnn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = act(y)
+        y = conv(self.features, 1, "conv2")(y)
+        y = fnn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        if residual.shape != y.shape:
+            # 1x1 projection shortcut (kept fp32 — negligible FLOPs)
+            residual = fnn.Conv(
+                features=self.features,
+                kernel_size=(1, 1),
+                strides=(self.strides, self.strides),
+                use_bias=False,
+                name="proj",
+            )(residual)
+            residual = fnn.BatchNorm(
+                use_running_average=not train, name="bn_proj"
+            )(residual)
+        return act(y + residual)
+
+
+class DorefaResNet20(fnn.Module):
+    classes: int = 10
+    w_bits: int = 4
+    a_bits: int = 4
+    quantized: bool = True
+    width: int = 16
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        w = self.width
+        # First conv full-precision (DoReFa practice)
+        x = fnn.Conv(features=w, kernel_size=(3, 3), use_bias=False, name="stem")(x)
+        x = fnn.BatchNorm(use_running_average=not train, name="bn_stem")(x)
+        x = fnn.relu(x)
+        if self.quantized and self.a_bits:
+            x = ops.dorefa_activation(x, self.a_bits)
+        for stage, (f, s) in enumerate([(w, 1), (2 * w, 2), (4 * w, 2)]):
+            for block in range(3):
+                x = _BasicBlock(
+                    features=f,
+                    strides=s if block == 0 else 1,
+                    w_bits=self.w_bits,
+                    a_bits=self.a_bits,
+                    quantized=self.quantized,
+                    name=f"stage{stage}_block{block}",
+                )(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))
+        # Final classifier full-precision (DoReFa practice)
+        return fnn.Dense(features=self.classes, name="head")(x)

@@ -1,0 +1,84 @@
+"""DoReFa layers (reference: ``QuantTorch/layers/dorefa_layers.py`` —
+SURVEY.md §2-L1): ``LinearDorefa(features, bitwight=k)`` / ``DorefaConv``.
+
+Weight quantization happens per forward; activation quantization is exposed
+both as the ``a_bits`` knob (applied to the layer input) and as the standalone
+``ops.dorefa_activation`` for placement after nonlinearities, matching the
+reference. The reference's ``bitwight`` spelling is accepted as an alias.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+
+from pytorch_quantize_impls_tpu import ops
+from pytorch_quantize_impls_tpu.nn.base import QuantConv, QuantDense
+
+
+class LinearDorefa(nn.Module):
+    """Dense layer with DoReFa k-bit weights (and optional k-bit inputs)."""
+
+    features: int
+    bits: int = 4
+    bitwight: Optional[int] = None  # reference-spelling alias for ``bits``
+    a_bits: Optional[int] = None  # None -> no input quantization
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @property
+    def w_bits(self) -> int:
+        return self.bits if self.bitwight is None else self.bitwight
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return QuantDense(
+            features=self.features,
+            weight_quant=partial(ops.dorefa_weight, bits=self.w_bits),
+            input_quant=(
+                partial(ops.dorefa_activation, bits=self.a_bits)
+                if self.a_bits
+                else None
+            ),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="dense",
+        )(x, train=train)
+
+
+class DorefaConv(nn.Module):
+    """Conv layer with DoReFa k-bit weights (and optional k-bit inputs)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    bits: int = 4
+    bitwight: Optional[int] = None
+    a_bits: Optional[int] = None
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @property
+    def w_bits(self) -> int:
+        return self.bits if self.bitwight is None else self.bitwight
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return QuantConv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            weight_quant=partial(ops.dorefa_weight, bits=self.w_bits),
+            input_quant=(
+                partial(ops.dorefa_activation, bits=self.a_bits)
+                if self.a_bits
+                else None
+            ),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x, train=train)

@@ -1,0 +1,57 @@
+"""TernaryConnect layers (reference: ``QuantTorch/layers/terner_layers.py`` —
+SURVEY.md §2-L1): the binary-layer pattern over the {-1, 0, +1} quantizer."""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+
+from pytorch_quantize_impls_tpu import ops
+from pytorch_quantize_impls_tpu.nn.base import QuantConv, QuantDense, stochastic
+
+
+def _ternary_quant(deterministic: bool):
+    if deterministic:
+        return ops.ternary_connect_det
+    return stochastic(ops.ternary_connect_stoch, eval_fn=ops.ternary_connect_det)
+
+
+class LinearTer(nn.Module):
+    features: int
+    deterministic: bool = True
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return QuantDense(
+            features=self.features,
+            weight_quant=_ternary_quant(self.deterministic),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="dense",
+        )(x, train=train)
+
+
+class TerConv(nn.Module):
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    deterministic: bool = True
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return QuantConv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            weight_quant=_ternary_quant(self.deterministic),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x, train=train)

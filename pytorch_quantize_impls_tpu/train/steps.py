@@ -1,0 +1,87 @@
+"""Jittable train/eval step builders.
+
+Reference training loop (SURVEY.md §3.3):
+forward -> CE loss (+ elastic penalty) -> backward -> step -> clamp.
+Here the whole thing is ONE jitted function — quantization, loss, STE
+backward, optimizer update, and clamp all fuse into a single XLA program;
+under a mesh the same function runs SPMD (see ``parallel``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pytorch_quantize_impls_tpu.nn.base import collect_elastic_losses
+from pytorch_quantize_impls_tpu.train.state import QuantTrainState
+
+
+def cross_entropy(logits, labels):
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def make_train_step(
+    *,
+    elastic_weight: float = 0.0,
+    loss_fn: Callable = cross_entropy,
+    has_batch_stats: bool = True,
+    has_quant_rng: bool = False,
+    donate: bool = True,
+):
+    """Build a jitted ``(state, batch) -> (state, metrics)`` train step.
+
+    ``batch`` is ``(inputs, integer labels)``. The elastic penalty (if any)
+    is collected from the model's 'losses' collection and added with weight
+    ``elastic_weight``.
+    """
+
+    def step(state: QuantTrainState, batch):
+        x, y = batch
+
+        def compute_loss(params):
+            variables = {"params": params}
+            mutable = ["losses"]
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable.append("batch_stats")
+            rngs = {"quant": state.step_quant_key()} if has_quant_rng else None
+            logits, aux = state.apply_fn(
+                variables, x, train=True, mutable=mutable, rngs=rngs
+            )
+            loss = loss_fn(logits, y)
+            if elastic_weight:
+                loss = loss + elastic_weight * collect_elastic_losses(aux)
+            return loss, (logits, aux.get("batch_stats"))
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        acc = jnp.mean(jnp.argmax(logits, -1) == y)
+        return state, {"loss": loss, "accuracy": acc}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step():
+    """Build a jitted ``(state, batch) -> metrics`` eval step (frozen
+    quantized weights — deterministic quantizers, running batch stats)."""
+
+    def step(state: QuantTrainState, batch):
+        x, y = batch
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        logits = state.apply_fn(variables, x, train=False)
+        return {
+            "loss": cross_entropy(logits, y),
+            "accuracy": jnp.mean(jnp.argmax(logits, -1) == y),
+            "count": jnp.asarray(y.shape[0]),
+        }
+
+    return jax.jit(step)

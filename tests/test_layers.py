@@ -1,0 +1,172 @@
+"""Layer tests (reference L1 test matrix, SURVEY.md §4: shapes, manual
+composition parity ``LinearX(x) == x @ quant(W) + b``, train-vs-eval,
+elastic loss collection)."""
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_quantize_impls_tpu import nn, ops
+
+KEY = jax.random.PRNGKey(0)
+X = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+IMG = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 3))
+
+
+def _kernel(params):
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in flat:
+        if "kernel" in jax.tree_util.keystr(path):
+            return leaf
+    raise KeyError("no kernel")
+
+
+def test_linear_bin_matches_manual():
+    layer = nn.LinearBin(features=8, use_bias=True)
+    params = layer.init(KEY, X)
+    y = layer.apply(params, X)
+    w = _kernel(params)
+    b = params["params"]["dense"]["bias"]
+    np.testing.assert_allclose(
+        y, X @ ops.binary_connect_det(w) + b, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_linear_bin_stochastic_needs_rng_and_eval_deterministic():
+    layer = nn.LinearBin(features=8, deterministic=False)
+    params = layer.init({"params": KEY, "quant": KEY}, X)
+    y1 = layer.apply(params, X, train=True, rngs={"quant": jax.random.PRNGKey(5)})
+    y2 = layer.apply(params, X, train=True, rngs={"quant": jax.random.PRNGKey(6)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    # eval mode: deterministic sign, no rng needed
+    ye = layer.apply(params, X, train=False)
+    w = _kernel(params)
+    b = params["params"]["dense"]["bias"]
+    np.testing.assert_allclose(ye, X @ ops.binary_connect_det(w) + b, rtol=1e-5)
+
+
+def test_bin_conv_full_bnn_binarizes_input():
+    layer = nn.BinConv(features=4, kernel_size=(3, 3), binarize_input=True)
+    params = layer.init(KEY, IMG)
+    y = layer.apply(params, IMG)
+    assert y.shape == (2, 8, 8, 4)
+    w = _kernel(params)
+    ref = jax.lax.conv_general_dilated(
+        ops.safe_sign(IMG),
+        ops.safe_sign(w),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["params"]["conv"]["bias"]
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_xnor_linear_matches_manual():
+    layer = nn.XNORLinear(features=8, use_bias=False)
+    params = layer.init(KEY, X)
+    y = layer.apply(params, X)
+    w = _kernel(params)
+    np.testing.assert_allclose(y, X @ ops.xnor_quantize(w), rtol=1e-5, atol=1e-5)
+
+
+def test_xnor_conv_full_mode_shapes():
+    layer = nn.XNORConv(features=4, binarize_input=True)
+    params = layer.init(KEY, IMG)
+    y = layer.apply(params, IMG)
+    assert y.shape == (2, 8, 8, 4)
+
+
+def test_dorefa_linear_matches_manual_and_bitwight_alias():
+    layer = nn.LinearDorefa(features=8, bits=4, use_bias=False)
+    params = layer.init(KEY, X)
+    y = layer.apply(params, X)
+    w = _kernel(params)
+    np.testing.assert_allclose(y, X @ ops.dorefa_weight(w, 4), rtol=1e-5, atol=1e-5)
+
+    alias = nn.LinearDorefa(features=8, bitwight=2, use_bias=False)
+    p2 = alias.init(KEY, X)
+    y2 = alias.apply(p2, X)
+    np.testing.assert_allclose(
+        y2, X @ ops.dorefa_weight(_kernel(p2), 2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_dorefa_activation_quant_on_input():
+    layer = nn.LinearDorefa(features=8, bits=4, a_bits=2, use_bias=False)
+    params = layer.init(KEY, X)
+    y = layer.apply(params, X)
+    w = _kernel(params)
+    xq = ops.dorefa_activation(X, 2)
+    np.testing.assert_allclose(y, xq @ ops.dorefa_weight(w, 4), rtol=1e-5, atol=1e-5)
+
+
+def test_log_lin_layers_match_manual():
+    for cls, q in [
+        (nn.LinearQuantLog, lambda w: ops.log_quant(w, fsr=1.0, bits=4)),
+        (nn.LinearQuantLin, lambda w: ops.lin_quant(w, fsr=1.0, bits=4)),
+    ]:
+        layer = cls(features=8, fsr=1.0, bits=4, use_bias=False)
+        params = layer.init(KEY, X)
+        y = layer.apply(params, X)
+        np.testing.assert_allclose(y, X @ q(_kernel(params)), rtol=1e-5, atol=1e-5)
+
+
+def test_ternary_linear_support():
+    layer = nn.LinearTer(features=8, use_bias=False)
+    params = layer.init(KEY, X)
+    w = _kernel(params)
+    y = layer.apply(params, X)
+    np.testing.assert_allclose(y, X @ ops.ternary_connect_det(w), rtol=1e-5, atol=1e-5)
+
+
+def test_elastic_linear_sows_loss():
+    layer = nn.ElasticLinear(features=8, grid="binary")
+    params = layer.init(KEY, X)
+    y, aux = layer.apply(params, X, mutable=["losses"])
+    assert y.shape == (4, 8)
+    loss = nn.collect_elastic_losses(aux)
+    assert float(loss) > 0.0
+    # loss is differentiable w.r.t. params
+    def f(p):
+        _, aux = layer.apply(p, X, mutable=["losses"])
+        return nn.collect_elastic_losses(aux)
+
+    g = jax.grad(f)(params)
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
+
+
+def test_conv_quant_log_shapes():
+    layer = nn.ConvQuantLog(features=4, fsr=1.0, bits=4)
+    params = layer.init(KEY, IMG)
+    assert layer.apply(params, IMG).shape == (2, 8, 8, 4)
+
+
+def test_shift_norm_batch_train_eval():
+    layer = nn.ShiftNormBatch()
+    x = jax.random.normal(KEY, (16, 8)) * 3 + 1
+    variables = layer.init(KEY, x)
+    y, updated = layer.apply(variables, x, train=True, mutable=["batch_stats"])
+    # normalized-ish: mean near 0 (scale is power-of-2 approx, so tolerance loose)
+    assert abs(float(y.mean())) < 0.3
+    # eval uses running stats without mutation
+    ye = layer.apply(
+        {"params": variables["params"], **updated}, x, train=False
+    )
+    assert ye.shape == x.shape
+
+
+def test_gradients_flow_through_all_layers():
+    for layer in [
+        nn.LinearBin(features=8),
+        nn.XNORLinear(features=8),
+        nn.LinearDorefa(features=8, bits=4, a_bits=4),
+        nn.LinearQuantLog(features=8, fsr=1.0, bits=4),
+        nn.LinearQuantLin(features=8, fsr=1.0, bits=4),
+        nn.LinearTer(features=8),
+    ]:
+        params = layer.init(KEY, X)
+        g = jax.grad(lambda p: jnp.sum(layer.apply(p, X) ** 2))(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert any(float(jnp.abs(l).sum()) > 0 for l in leaves), layer
