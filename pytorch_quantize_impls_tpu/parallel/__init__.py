@@ -1,0 +1,23 @@
+"""Distribution layer — NEW scope, no reference counterpart (SURVEY.md §2
+"Parallelism & communication components — reference has NONE").
+
+TPU-native realization: a named device ``Mesh`` ("data", "model"), parameter
+and batch ``NamedSharding`` rules, and jit/GSPMD train steps where XLA inserts
+the collectives (psum for DP grads over ICI, all-gather for TP'd weights).
+Multi-host init and explicit shard_map collective-matmul live here too.
+"""
+
+from pytorch_quantize_impls_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+)
+from pytorch_quantize_impls_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    param_shardings,
+    replicate,
+    shard_batch,
+    shard_train_state,
+)

@@ -30,6 +30,7 @@ def make_train_step(
     has_batch_stats: bool = True,
     has_quant_rng: bool = False,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build a jitted ``(state, batch) -> (state, metrics)`` train step.
 
@@ -65,10 +66,12 @@ def make_train_step(
         acc = jnp.mean(jnp.argmax(logits, -1) == y)
         return state, {"loss": loss, "accuracy": acc}
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step():
+def make_eval_step(jit: bool = True):
     """Build a jitted ``(state, batch) -> metrics`` eval step (frozen
     quantized weights — deterministic quantizers, running batch stats)."""
 
@@ -84,4 +87,4 @@ def make_eval_step():
             "count": jnp.asarray(y.shape[0]),
         }
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step

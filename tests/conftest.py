@@ -3,12 +3,15 @@
 This is the TPU-native equivalent of a "fake backend" (SURVEY.md §4): the same
 mesh/sharding/collective code that runs on a pod slice runs here on one
 process. Pallas kernels auto-select interpret mode off-TPU (kernels/common.py).
-Env must be set before jax import.
+
+Note: this environment's sitecustomize force-registers the axon TPU plugin
+and overrides JAX_PLATFORMS, so we must win via ``jax.config`` (set before
+any backend initialization), not env vars. XLA_FLAGS still must be set before
+``import jax``.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
