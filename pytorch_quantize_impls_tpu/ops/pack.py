@@ -129,3 +129,72 @@ def log_to_codes(sign: Array, exp_idx: Array, bits: int) -> Array:
 def codes_to_log(c: Array, bits: int):
     sign = 2 * ((c >> (bits + 1)) & 1) - 1
     return sign.astype(jnp.int32), (c & (2 ** (bits + 1) - 1)).astype(jnp.int32)
+
+
+# --- grouped-planar (bit-plane) packing: the TPU-kernel layout -------------
+#
+# ``pack`` above interleaves codes *within* a lane word (little-endian along
+# the last dim) — the natural Python layout. The Pallas GEMM kernels instead
+# want GROUPED-PLANAR packing along the *contraction* (second-to-last) axis:
+#
+#   factor   f = 32 // bits          codes per uint32 word
+#   group    GROUP_ROWS = 32 words   covering group_k = f * 32 k-rows
+#   word[g * 32 + r, n] stores code ``codes[g * group_k + i * 32 + r, n]``
+#   in bit field ``[bits*i, bits*(i+1))``.
+#
+# Each 32-word group decodes independently with f shift+mask ops and ONE
+# sublane-axis concat in natural K order — no strided scatter, no 3-D
+# reshape (both of which Mosaic dislikes) — and, crucially, any K-tile that
+# is a multiple of ``group_k`` decodes without global context, so kernels
+# may tile K freely.
+
+GROUP_ROWS = 32
+
+
+def planar_group_k(bits: int) -> int:
+    """K-rows covered by one self-contained packed group."""
+    return pack_factor(bits) * GROUP_ROWS
+
+
+def pack_bitplanes(codes: Array, bits: int) -> Array:
+    """Grouped-planar-pack unsigned codes along axis -2 into uint32.
+
+    K (axis -2) is zero-padded to a multiple of ``planar_group_k(bits)``.
+    Zero-pad is safe for GEMM because the matching activation rows are
+    zero-padded too (and decoders may emit arbitrary values there).
+    """
+    f = pack_factor(bits)
+    gk = planar_group_k(bits)
+    codes = jnp.asarray(codes)
+    k = codes.shape[-2]
+    kp = -(-k // gk) * gk
+    if kp != k:
+        pad_width = [(0, 0)] * (codes.ndim - 2) + [(0, kp - k), (0, 0)]
+        codes = jnp.pad(codes, pad_width)
+    n_groups = kp // gk
+    c = codes.astype(jnp.uint32)
+    out_rows = []
+    for g in range(n_groups):
+        word = jnp.zeros(c.shape[:-2] + (GROUP_ROWS, c.shape[-1]), jnp.uint32)
+        base = g * gk
+        for i in range(f):
+            word = word | (
+                c[..., base + i * GROUP_ROWS : base + (i + 1) * GROUP_ROWS, :]
+                << jnp.uint32(bits * i)
+            )
+        out_rows.append(word)
+    return jnp.concatenate(out_rows, axis=-2)
+
+
+def unpack_bitplanes(word: Array, bits: int, k: int) -> Array:
+    """Inverse of :func:`pack_bitplanes`; returns int32 codes, axis -2 = k."""
+    f = pack_factor(bits)
+    mask = jnp.uint32(2**bits - 1)
+    r = word.shape[-2]
+    assert r % GROUP_ROWS == 0, r
+    parts = []
+    for g in range(r // GROUP_ROWS):
+        grp = word[..., g * GROUP_ROWS : (g + 1) * GROUP_ROWS, :]
+        for i in range(f):
+            parts.append(((grp >> jnp.uint32(bits * i)) & mask).astype(jnp.int32))
+    return jnp.concatenate(parts, axis=-2)[..., :k, :]

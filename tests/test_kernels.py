@@ -1,0 +1,149 @@
+"""Pallas kernel parity tests (SURVEY.md §4 implication 2a): packed kernels
+must match the fake-quant XLA path bit-exactly (int paths) / to bf16 ulp
+(log path). Run in interpret mode on CPU; the same code compiles on TPU."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_quantize_impls_tpu.kernels  # noqa: F401  (package init)
+
+bg = sys.modules["pytorch_quantize_impls_tpu.kernels.xnor_gemm"]
+pm = sys.modules["pytorch_quantize_impls_tpu.kernels.packed_matmul"]
+sm = sys.modules["pytorch_quantize_impls_tpu.kernels.shift_matmul"]
+from pytorch_quantize_impls_tpu import ops
+from pytorch_quantize_impls_tpu.kernels.conv import pack_conv_weights, packed_conv2d
+from pytorch_quantize_impls_tpu.ops import pack as packlib
+
+RNG = np.random.default_rng(0)
+
+
+def _rand(*shape):
+    return RNG.normal(size=shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 128, 128), (33, 300, 130), (128, 2100, 256)])
+def test_binary_gemm_parity(m, k, n):
+    x = jnp.asarray(_rand(m, k))
+    w = jnp.asarray(_rand(k, n))
+    xi = bg.binarize_to_int8(x)
+    wp = bg.pack_binary_weights(w)
+    alpha = jnp.abs(w).mean(0)
+    got = bg.binary_gemm(xi, wp, alpha)
+    ref = bg.binary_gemm_reference(xi, wp, alpha)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+    # and against the direct sign matmul (the fake-quant path)
+    direct = ops.safe_sign(x) @ ops.safe_sign(w) * alpha[None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), rtol=1e-5)
+
+
+def test_binary_gemm_row_scale():
+    x, w = jnp.asarray(_rand(32, 256)), jnp.asarray(_rand(256, 128))
+    xi, wp = bg.binarize_to_int8(x), bg.pack_binary_weights(w)
+    alpha = jnp.abs(w).mean(0)
+    row = jnp.abs(x).mean(1)
+    got = bg.binary_gemm(xi, wp, alpha, row)
+    ref = bg.binary_gemm_reference(xi, wp, alpha, row)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+def test_decode_and_decoded_gemm():
+    x, w = jnp.asarray(_rand(16, 2048)), jnp.asarray(_rand(2048, 256))
+    wp = bg.pack_binary_weights(w)
+    w8 = bg.decode_binary_weights(wp)
+    np.testing.assert_array_equal(
+        np.asarray(w8[:2048]), np.asarray(ops.safe_sign(w)).astype(np.int8)
+    )
+    xi = bg.binarize_to_int8(x)
+    out = bg.binary_gemm_decoded(xi, w8, out_dtype=jnp.float32)
+    direct = ops.safe_sign(x) @ ops.safe_sign(w)
+    np.testing.assert_allclose(np.asarray(out[:, :256]), np.asarray(direct), rtol=1e-5)
+
+
+@pytest.mark.parametrize("w_bits,a_bits", [(2, 2), (4, 4), (4, 7)])
+def test_dorefa_gemm_parity(w_bits, a_bits):
+    m, k, n = 48, 600, 128
+    w = jnp.asarray(_rand(k, n))
+    x = jnp.asarray(np.abs(_rand(m, k)))  # post-ReLU style
+    wq = ops.dorefa_weight(w, w_bits)
+    aq = ops.dorefa_activation(x, a_bits)
+    wp = pm.pack_dorefa_weights(wq, w_bits)
+    codes = pm.dorefa_act_to_int8(aq, a_bits)
+    got = pm.dorefa_gemm(codes, wp, w_bits=w_bits, a_bits=a_bits)
+    fake = aq @ wq  # the fake-quant path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fake), rtol=1e-4, atol=1e-4)
+    ref = pm.dorefa_gemm_reference(codes, wp, w_bits=w_bits, a_bits=a_bits)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("fsr,bits", [(1.0, 4), (0.0, 3)])
+def test_shift_gemm_parity(fsr, bits):
+    m, k, n = 32, 384, 128
+    w = jnp.asarray(_rand(k, n))
+    x = jnp.asarray(_rand(m, k))
+    wp = sm.pack_log_weights(w, fsr, bits)
+    got = sm.shift_gemm(x, wp, fsr=fsr, bits=bits)
+    ref = sm.shift_gemm_reference(x, wp, fsr=fsr, bits=bits)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # vs fake-quant in bf16 arithmetic
+    fake = jnp.dot(
+        x.astype(jnp.bfloat16),
+        ops.log_quant(w, fsr, bits).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fake), rtol=2e-2, atol=2e-2)
+
+
+def test_grouped_planar_roundtrip_tiled():
+    """The layout bug regression: decode of a K-tile must not need global
+    context (K spanning multiple tiles AND multiple groups)."""
+    for bits in (1, 2, 4, 8):
+        gk = packlib.planar_group_k(bits)
+        k, n = 3 * gk + 7, 16
+        codes = RNG.integers(0, 2**bits, size=(k, n))
+        p = packlib.pack_bitplanes(jnp.asarray(codes), bits)
+        got = packlib.unpack_bitplanes(p, bits, k)
+        np.testing.assert_array_equal(np.asarray(got), codes)
+
+
+def test_packed_conv_binary_parity():
+    x = jnp.asarray(_rand(2, 10, 10, 8))
+    w = jnp.asarray(_rand(3, 3, 8, 16))
+    pw = pack_conv_weights(w, "xnor")
+    got = packed_conv2d(x, pw, padding="SAME")
+    # reference: conv of sign(x) with alpha*sign(w)
+    ref = jax.lax.conv_general_dilated(
+        ops.safe_sign(x),
+        ops.safe_sign(w),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) * jnp.mean(jnp.abs(w), axis=(0, 1, 2))[None, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_conv_dorefa_parity():
+    x = jnp.asarray(np.abs(_rand(2, 8, 8, 8)))
+    w = jnp.asarray(_rand(3, 3, 8, 16))
+    wq = ops.dorefa_weight(w, 4)
+    aq = ops.dorefa_activation(x, 4)
+    pw = pack_conv_weights(wq, "dorefa", w_bits=4, a_bits=4)
+    got = packed_conv2d(aq, pw, padding="SAME")
+    ref = jax.lax.conv_general_dilated(
+        aq, wq, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_packed_conv_strides():
+    x = jnp.asarray(_rand(1, 12, 12, 4))
+    w = jnp.asarray(_rand(3, 3, 4, 8))
+    pw = pack_conv_weights(w, "binary")
+    got = packed_conv2d(x, pw, strides=(2, 2), padding="VALID")
+    assert got.shape == (1, 5, 5, 8)
