@@ -74,6 +74,11 @@ class QuantDense(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.glorot_normal()
     bias_init: Callable = nn.initializers.zeros_init()
+    # Packed-execution metadata (read by ``infer.pack_model``):
+    scheme: str = "none"  # none|binary|xnor|dorefa|log|lin|ternary
+    w_bits: int = 1
+    a_bits: int = 0  # 0 = inputs not quantized
+    fsr: float = 0.0
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -104,6 +109,11 @@ class QuantConv(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.glorot_normal()
     bias_init: Callable = nn.initializers.zeros_init()
+    # Packed-execution metadata (read by ``infer.pack_model``):
+    scheme: str = "none"
+    w_bits: int = 1
+    a_bits: int = 0
+    fsr: float = 0.0
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:

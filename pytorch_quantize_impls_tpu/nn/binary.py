@@ -49,6 +49,8 @@ class LinearBin(nn.Module):
             input_quant=ops.binary_tanh if self.binarize_input else None,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            scheme="binary",
+            a_bits=1 if self.binarize_input else 0,
             name="dense",
         )(x, train=train)
 
@@ -77,6 +79,8 @@ class BinConv(nn.Module):
             input_quant=ops.binary_tanh if self.binarize_input else None,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            scheme="binary",
+            a_bits=1 if self.binarize_input else 0,
             name="conv",
         )(x, train=train)
 

@@ -44,6 +44,9 @@ class LinearDorefa(nn.Module):
             ),
             use_bias=self.use_bias,
             dtype=self.dtype,
+            scheme="dorefa",
+            w_bits=self.w_bits,
+            a_bits=self.a_bits or 0,
             name="dense",
         )(x, train=train)
 
@@ -80,5 +83,8 @@ class DorefaConv(nn.Module):
             ),
             use_bias=self.use_bias,
             dtype=self.dtype,
+            scheme="dorefa",
+            w_bits=self.w_bits,
+            a_bits=self.a_bits or 0,
             name="conv",
         )(x, train=train)

@@ -54,6 +54,10 @@ class LinearQuantLog(_LogLinBase):
             use_bias=self.use_bias,
             clip_bound=2.0**self.fsr,
             dtype=self.dtype,
+            scheme="log",
+            w_bits=self.w_bits,
+            a_bits=self.w_bits if self.quantize_input else 0,
+            fsr=self.fsr,
             name="dense",
         )(x, train=train)
 
@@ -71,6 +75,10 @@ class LinearQuantLin(_LogLinBase):
             use_bias=self.use_bias,
             clip_bound=2.0**self.fsr,
             dtype=self.dtype,
+            scheme="lin",
+            w_bits=self.w_bits,
+            a_bits=self.w_bits if self.quantize_input else 0,
+            fsr=self.fsr,
             name="dense",
         )(x, train=train)
 
@@ -97,6 +105,10 @@ class ConvQuantLog(_LogLinConvBase):
             use_bias=self.use_bias,
             clip_bound=2.0**self.fsr,
             dtype=self.dtype,
+            scheme="log",
+            w_bits=self.w_bits,
+            a_bits=self.w_bits if self.quantize_input else 0,
+            fsr=self.fsr,
             name="conv",
         )(x, train=train)
 
@@ -117,5 +129,9 @@ class ConvQuantLin(_LogLinConvBase):
             use_bias=self.use_bias,
             clip_bound=2.0**self.fsr,
             dtype=self.dtype,
+            scheme="lin",
+            w_bits=self.w_bits,
+            a_bits=self.w_bits if self.quantize_input else 0,
+            fsr=self.fsr,
             name="conv",
         )(x, train=train)

@@ -30,6 +30,8 @@ class LinearTer(nn.Module):
             weight_quant=_ternary_quant(self.deterministic),
             use_bias=self.use_bias,
             dtype=self.dtype,
+            scheme="ternary",
+            w_bits=2,
             name="dense",
         )(x, train=train)
 
@@ -53,5 +55,7 @@ class TerConv(nn.Module):
             weight_quant=_ternary_quant(self.deterministic),
             use_bias=self.use_bias,
             dtype=self.dtype,
+            scheme="ternary",
+            w_bits=2,
             name="conv",
         )(x, train=train)

@@ -34,6 +34,8 @@ class XNORLinear(nn.Module):
             input_quant=ops.binary_tanh if self.binarize_input else None,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            scheme="xnor",
+            a_bits=1 if self.binarize_input else 0,
             name="dense",
         )(x, train=train)
 
@@ -68,6 +70,8 @@ class XNORConv(nn.Module):
             input_quant=ops.binary_tanh if self.binarize_input else None,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            scheme="xnor",
+            a_bits=1 if self.binarize_input else 0,
             name="conv",
         )(x, train=train)
         if k_map is not None and self.padding == "SAME":
