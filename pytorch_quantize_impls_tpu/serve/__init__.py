@@ -1,0 +1,8 @@
+"""Continuous-batching inference service — NEW scope (SURVEY.md §2
+parallelism table: "host-side request queue + batch assembly feeding a
+pjit'd packed forward fn across hosts"; no reference counterpart)."""
+
+from pytorch_quantize_impls_tpu.serve.engine import (  # noqa: F401
+    EngineStats,
+    InferenceEngine,
+)

@@ -1,0 +1,174 @@
+"""Continuous-batching engine over the packed forward path.
+
+Requests (single examples or small batches) stream in from many clients; a
+dispatch thread assembles them into padded power-of-two buckets and feeds ONE
+jitted packed forward per bucket size — so the TPU always sees static shapes
+(no recompiles) and large, MXU-friendly batches. Over a mesh, assembled
+batches are sharded on the "data" axis before dispatch (DP serving across
+chips/hosts).
+
+This is the classification-model analogue of LLM continuous batching: no KV
+state, so "continuous" means requests join the next bucket rather than
+waiting for a fixed-size batch to fill; a deadline (``max_delay_ms``) bounds
+latency when traffic is sparse.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class EngineStats:
+    requests: int = 0
+    batches: int = 0
+    padded_examples: int = 0
+    total_latency_s: float = 0.0
+
+    @property
+    def mean_batch_size(self) -> float:
+        return self.requests / self.batches if self.batches else 0.0
+
+    @property
+    def mean_latency_ms(self) -> float:
+        return 1e3 * self.total_latency_s / self.requests if self.requests else 0.0
+
+
+@dataclass
+class _Request:
+    x: np.ndarray
+    future: Future
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+class InferenceEngine:
+    """Continuous-batching server around a ``forward(x) -> y`` function.
+
+    ``forward`` is typically ``lambda x: infer.packed_apply(model, variables,
+    prepared, x)``; the engine jits it per bucket size. With a ``mesh``, the
+    assembled batch is placed sharded over the 'data' axis (DP serving).
+    """
+
+    def __init__(
+        self,
+        forward: Callable[[jax.Array], jax.Array],
+        example_shape: Tuple[int, ...],
+        *,
+        batch_sizes: Sequence[int] = (1, 4, 16, 64, 256),
+        max_delay_ms: float = 2.0,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        dtype=jnp.float32,
+    ):
+        self._example_shape = tuple(example_shape)
+        self._buckets = sorted(batch_sizes)
+        self._max_delay_s = max_delay_ms / 1e3
+        self._mesh = mesh
+        self._dtype = dtype
+        self._jitted = jax.jit(forward)
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self.stats = EngineStats()
+        self._lock = threading.Lock()
+        self._running = True
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, x) -> Future:
+        """Enqueue one example (shape == example_shape); returns a Future."""
+        x = np.asarray(x)
+        if x.shape != self._example_shape:
+            raise ValueError(f"expected {self._example_shape}, got {x.shape}")
+        req = _Request(x=x, future=Future())
+        self._queue.put(req)
+        return req.future
+
+    def __call__(self, x):
+        """Synchronous convenience wrapper."""
+        return self.submit(x).result()
+
+    def warmup(self) -> None:
+        """Pre-compile every bucket size (avoids first-request stalls)."""
+        for b in self._buckets:
+            x = jnp.zeros((b, *self._example_shape), self._dtype)
+            jax.block_until_ready(self._run(x))
+
+    def shutdown(self) -> None:
+        self._running = False
+        self._queue.put(None)
+        self._thread.join(timeout=10)
+
+    # -- dispatch ----------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _run(self, x: jax.Array) -> jax.Array:
+        if self._mesh is not None:
+            from pytorch_quantize_impls_tpu.parallel.sharding import batch_sharding
+
+            x = jax.device_put(x, batch_sharding(self._mesh, x.ndim))
+        return self._jitted(x)
+
+    def _dispatch_loop(self) -> None:
+        max_b = self._buckets[-1]
+        while self._running:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                break
+            batch = [first]
+            deadline = first.t_submit + self._max_delay_s
+            # continuous assembly: take whatever arrives until the bucket is
+            # full or the oldest request's deadline passes
+            while len(batch) < max_b:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._running = False
+                    break
+                batch.append(nxt)
+            self._execute(batch)
+
+    def _execute(self, batch) -> None:
+        n = len(batch)
+        b = self._bucket_for(n)
+        x = np.zeros((b, *self._example_shape), dtype=np.float32)
+        for i, req in enumerate(batch):
+            x[i] = req.x
+        try:
+            y = np.asarray(self._run(jnp.asarray(x, self._dtype)))
+        except Exception as e:  # deliver the failure to every waiter
+            for req in batch:
+                req.future.set_exception(e)
+            return
+        t_done = time.perf_counter()
+        with self._lock:
+            self.stats.requests += n
+            self.stats.batches += 1
+            self.stats.padded_examples += b - n
+            self.stats.total_latency_s += sum(
+                t_done - r.t_submit for r in batch
+            )
+        for i, req in enumerate(batch):
+            req.future.set_result(y[i])

@@ -1,0 +1,90 @@
+"""Run configs (SURVEY.md §5 config row): dataclasses, idiomatic-light.
+
+Preserves the reference's semantic knobs exactly — {det|stoch}, k_w/k_a/k_g
+bits, fsr, with_sign, lin_back — plus run-level knobs (model, data, mesh).
+The five named configs mirror BASELINE.json:6-12.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # model / scheme
+    config: str = "binaryconnect_mlp"  # one of SCHEME_CONFIGS
+    deterministic: bool = True  # det vs stoch quantization
+    w_bits: int = 1
+    a_bits: int = 0
+    g_bits: int = 0  # DoReFa gradient quantization (0 = off)
+    fsr: float = 1.0
+    # training
+    batch_size: int = 128
+    steps: int = 2000
+    lr: float = 3e-3
+    elastic_weight: float = 0.0
+    seed: int = 0
+    # distribution
+    mesh_shape: Optional[Tuple[int, int]] = None  # None -> all-data auto
+    # io
+    checkpoint_dir: Optional[str] = None
+    metrics_path: Optional[str] = None
+    profile_dir: Optional[str] = None
+    data_dir: Optional[str] = None  # overrides $QTPU_DATA_DIR
+
+
+def _mk(config, **kw):
+    base = dict(config=config)
+    base.update(kw)
+    return base
+
+
+# BASELINE.json:6-12 evaluation configs
+SCHEME_CONFIGS = {
+    "binaryconnect_mlp": _mk("binaryconnect_mlp", w_bits=1),
+    "bnn_lenet": _mk("bnn_lenet", w_bits=1, a_bits=1),
+    "xnor_cifar": _mk("xnor_cifar", w_bits=1, a_bits=1),
+    "dorefa_resnet20": _mk("dorefa_resnet20", w_bits=4, a_bits=4),
+    "logquant_vgg": _mk("logquant_vgg", w_bits=4, fsr=1.0),
+}
+
+
+def build_model(cfg: RunConfig, *, fp32: bool = False):
+    """Config name -> (model, input_shape, dataset_name).
+
+    ``fp32=True`` builds the full-precision twin for Δ-accuracy runs.
+    """
+    from pytorch_quantize_impls_tpu import models
+
+    q = not fp32
+    if cfg.config == "binaryconnect_mlp":
+        return (
+            models.BinaryConnectMLP(
+                deterministic=cfg.deterministic, quantized=q
+            ),
+            (28 * 28,),
+            "mnist",
+        )
+    if cfg.config == "bnn_lenet":
+        return models.BNNLeNet(quantized=q), (28, 28, 1), "mnist"
+    if cfg.config == "xnor_cifar":
+        return models.XNORConvNet(quantized=q), (32, 32, 3), "cifar10"
+    if cfg.config == "dorefa_resnet20":
+        return (
+            models.DorefaResNet20(
+                w_bits=cfg.w_bits, a_bits=cfg.a_bits, quantized=q
+            ),
+            (32, 32, 3),
+            "cifar10",
+        )
+    if cfg.config == "logquant_vgg":
+        return (
+            models.LogQuantVGGSmall(bits=cfg.w_bits, fsr=cfg.fsr, quantized=q),
+            (32, 32, 3),
+            "cifar10",
+        )
+    raise ValueError(
+        f"unknown config {cfg.config!r}; pick from {sorted(SCHEME_CONFIGS)}"
+    )
