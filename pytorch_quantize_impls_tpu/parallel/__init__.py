@@ -12,6 +12,13 @@ from pytorch_quantize_impls_tpu.parallel.mesh import (  # noqa: F401
     MODEL_AXIS,
     make_mesh,
 )
+from pytorch_quantize_impls_tpu.parallel.quantized_collectives import (  # noqa: F401
+    comm_bytes_saved,
+    make_quantized_dp_train_step,
+    pmean_quantized,
+    quantize_symmetric,
+    ring_allreduce_quantized,
+)
 from pytorch_quantize_impls_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     make_sharded_eval_step,

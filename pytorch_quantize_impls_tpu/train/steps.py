@@ -23,6 +23,36 @@ def cross_entropy(logits, labels):
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
 
+def make_compute_loss(
+    state: QuantTrainState,
+    x,
+    y,
+    *,
+    elastic_weight: float = 0.0,
+    loss_fn: Callable = cross_entropy,
+    has_quant_rng: bool = False,
+):
+    """``params -> (loss, (logits, new_batch_stats))`` closure — the shared
+    forward+loss used by every train-step flavor (jit/GSPMD and shard_map)."""
+
+    def compute_loss(params):
+        variables = {"params": params}
+        mutable = ["losses"]
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+            mutable.append("batch_stats")
+        rngs = {"quant": state.step_quant_key()} if has_quant_rng else None
+        logits, aux = state.apply_fn(
+            variables, x, train=True, mutable=mutable, rngs=rngs
+        )
+        loss = loss_fn(logits, y)
+        if elastic_weight:
+            loss = loss + elastic_weight * collect_elastic_losses(aux)
+        return loss, (logits, aux.get("batch_stats"))
+
+    return compute_loss
+
+
 def make_train_step(
     *,
     elastic_weight: float = 0.0,
@@ -41,22 +71,11 @@ def make_train_step(
 
     def step(state: QuantTrainState, batch):
         x, y = batch
-
-        def compute_loss(params):
-            variables = {"params": params}
-            mutable = ["losses"]
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-                mutable.append("batch_stats")
-            rngs = {"quant": state.step_quant_key()} if has_quant_rng else None
-            logits, aux = state.apply_fn(
-                variables, x, train=True, mutable=mutable, rngs=rngs
-            )
-            loss = loss_fn(logits, y)
-            if elastic_weight:
-                loss = loss + elastic_weight * collect_elastic_losses(aux)
-            return loss, (logits, aux.get("batch_stats"))
-
+        compute_loss = make_compute_loss(
+            state, x, y,
+            elastic_weight=elastic_weight, loss_fn=loss_fn,
+            has_quant_rng=has_quant_rng,
+        )
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
