@@ -40,3 +40,4 @@ from pytorch_quantize_impls_tpu.nn.elastic import (  # noqa: F401
     ElasticConv,
     ElasticLinear,
 )
+from pytorch_quantize_impls_tpu.nn.pact import PACT  # noqa: F401

@@ -39,6 +39,10 @@ from pytorch_quantize_impls_tpu.ops.elastic import (  # noqa: F401
     lin_elastic_loss,
     log_elastic_loss,
 )
+from pytorch_quantize_impls_tpu.ops.pact import (  # noqa: F401
+    pact,
+    pact_alpha_penalty,
+)
 from pytorch_quantize_impls_tpu.ops.xnor import (  # noqa: F401
     xnor_alpha,
     xnor_input_scale_map,
