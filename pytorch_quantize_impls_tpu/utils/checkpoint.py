@@ -38,22 +38,41 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self._dir, options=options)
 
     def save(self, state: QuantTrainState, *, force: bool = False) -> bool:
-        """Save at ``state.step`` (async unless configured otherwise)."""
+        """Save at ``state.step`` (async unless configured otherwise).
+
+        A step that is already on disk is a no-op, not an error — happens
+        when a resumed run restarts exactly at a saved step (e.g. resuming
+        a job that was killed after its final save).
+        """
+        step = int(state.step)
+        if step in self._mgr.all_steps():
+            return False
         return self._mgr.save(
-            int(state.step), args=ocp.args.StandardSave(state), force=force
+            step, args=ocp.args.StandardSave(state), force=force
         )
 
     def restore(
         self, abstract_state: QuantTrainState, step: Optional[int] = None
     ) -> Optional[QuantTrainState]:
         """Restore the latest (or given) step into ``abstract_state``'s
-        structure; returns None if no checkpoint exists."""
-        step = self._mgr.latest_step() if step is None else step
-        if step is None:
-            return None
-        return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract_state)
-        )
+        structure; returns None if no checkpoint exists.
+
+        When no explicit step is given, falls back through older steps if
+        the newest one is torn (e.g. the writer was killed mid-finalize or
+        another process garbage-collected it between listing and read).
+        """
+        if step is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state)
+            )
+        for s in sorted(self._mgr.all_steps(), reverse=True):
+            try:
+                return self._mgr.restore(
+                    s, args=ocp.args.StandardRestore(abstract_state)
+                )
+            except (FileNotFoundError, ValueError):
+                continue
+        return None
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -18,9 +18,13 @@ log = logging.getLogger("qtpu")
 
 
 def setup_logging(level: int = logging.INFO) -> None:
+    # force=True: jax/absl already hang a handler on the root logger at
+    # import time, which would make a plain basicConfig a silent no-op
+    # (and swallow every INFO line).
     logging.basicConfig(
         level=level,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        force=True,
     )
 
 

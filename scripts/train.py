@@ -51,6 +51,7 @@ def parse_args() -> RunConfig:
     p.add_argument("--mesh", type=str, default=None,
                    help="data,model e.g. 4,2; default: all devices on data")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--ckpt-every", type=int, default=500)
     p.add_argument("--metrics", default=None)
     p.add_argument("--data-dir", default=None)
     p.add_argument("--export", default=None, help="write packed npz artifact")
@@ -70,6 +71,7 @@ def parse_args() -> RunConfig:
         data_dir=a.data_dir,
     )
     cfg._fp32 = a.fp32  # twin-run flag (not a scheme knob)
+    cfg._ckpt_every = a.ckpt_every
     cfg._export = a.export
     cfg._expect_acc = a.expect_acc
     return cfg
@@ -131,7 +133,7 @@ def main() -> int:
                 m["images_per_s"] = timer.throughput(cfg.batch_size)
                 mw.write(s, m)
                 log.info("step %d %s", s, m)
-            if mgr and s % 500 == 0:
+            if mgr and s % cfg._ckpt_every == 0:
                 mgr.save(state)
 
     # final eval (batched to bound memory)
