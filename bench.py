@@ -16,17 +16,53 @@ fetch; the relay round-trip (~30 ms) is calibrated and subtracted.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+
+def _tpu_alive(timeout_s: float = 120.0) -> bool:
+    """Probe the TPU in a subprocess — the axon tunnel can wedge in a way
+    that hangs any in-process XLA call forever (device enumerates, first
+    op never completes), so the probe must be killable."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if __name__ == "__main__" and not os.environ.get("QTPU_BENCH_NO_PROBE"):
+    if not _tpu_alive():
+        # Re-exec on CPU so the driver still gets its JSON line. The
+        # speedup-vs-fp32 ratio is still meaningful (same machine both
+        # sides); absolute TFLOP/s are not TPU numbers — flagged in the
+        # metric name.
+        print("# TPU unreachable; falling back to CPU", file=sys.stderr)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["QTPU_BENCH_NO_PROBE"] = "1"
+        env["QTPU_BENCH_CPU_FALLBACK"] = "1"
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 import jax
 import jax.numpy as jnp
 
 
-M = N = K = 4096
-ITERS = 50
+_CPU_FALLBACK = bool(os.environ.get("QTPU_BENCH_CPU_FALLBACK"))
+M = N = K = 1024 if _CPU_FALLBACK else 4096
+ITERS = 5 if _CPU_FALLBACK else 50
 FLOPS = 2 * M * N * K
 
 
@@ -127,10 +163,13 @@ def main() -> None:
           f"({t_f32/t_log:.1f}x fp32)", file=sys.stderr)
 
     value = FLOPS / t_bin / 1e12
+    name = "binary_gemm_tflops_equiv_per_chip_4096"
+    if _CPU_FALLBACK:
+        name = "binary_gemm_tflops_equiv_CPU_FALLBACK_tpu_unreachable_1024"
     print(
         json.dumps(
             {
-                "metric": "binary_gemm_tflops_equiv_per_chip_4096",
+                "metric": name,
                 "value": round(value, 2),
                 "unit": "TFLOP-equiv/s",
                 "vs_baseline": round(t_f32 / t_bin, 2),
