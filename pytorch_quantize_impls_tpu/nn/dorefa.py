@@ -25,6 +25,7 @@ class LinearDorefa(nn.Module):
     bits: int = 4
     bitwight: Optional[int] = None  # reference-spelling alias for ``bits``
     a_bits: Optional[int] = None  # None -> no input quantization
+    g_bits: Optional[int] = None  # None -> no gradient quantization
     use_bias: bool = True
     dtype: Optional[Any] = None
 
@@ -34,6 +35,10 @@ class LinearDorefa(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.g_bits and train:
+            # paper eq. 12: quantize the backward cotangent on the input
+            # path (fresh noise per step via the 'quant' rng collection)
+            x = ops.dorefa_gradient(x, self.make_rng("quant"), self.g_bits)
         return QuantDense(
             features=self.features,
             weight_quant=partial(ops.dorefa_weight, bits=self.w_bits),
@@ -61,6 +66,7 @@ class DorefaConv(nn.Module):
     bits: int = 4
     bitwight: Optional[int] = None
     a_bits: Optional[int] = None
+    g_bits: Optional[int] = None
     use_bias: bool = True
     dtype: Optional[Any] = None
 
@@ -70,6 +76,8 @@ class DorefaConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.g_bits and train:
+            x = ops.dorefa_gradient(x, self.make_rng("quant"), self.g_bits)
         return QuantConv(
             features=self.features,
             kernel_size=self.kernel_size,

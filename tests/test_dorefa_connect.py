@@ -99,3 +99,37 @@ def test_weight_idempotent_on_grid():
     wq = ops.dorefa_weight(w, 3)
     wqq = ops.dorefa_weight(wq, 3)
     np.testing.assert_allclose(wq, wqq, atol=2e-2)
+
+
+def test_layer_g_bits_quantizes_input_gradient():
+    """nn.LinearDorefa(g_bits=k): backward cotangent through the layer input
+    is k-bit quantized (train only; eval needs no rng)."""
+    import numpy as np
+    from pytorch_quantize_impls_tpu import nn as qnn
+
+    layer = qnn.LinearDorefa(features=8, bits=4, a_bits=4, g_bits=6)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16)), jnp.float32)
+    v = layer.init(
+        {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)},
+        x, train=True,
+    )
+
+    def loss(x, rng):
+        y = layer.apply(v, x, train=True, rngs={"quant": rng})
+        return jnp.sum(y * y)
+
+    gq = jax.grad(loss)(x, jax.random.PRNGKey(2))
+    layer_exact = qnn.LinearDorefa(features=8, bits=4, a_bits=4)
+    ge = jax.grad(
+        lambda x: jnp.sum(jnp.square(layer_exact.apply(v, x, train=True)))
+    )(x)
+    # quantized grad correlates strongly with the exact one but differs
+    gq_, ge_ = np.asarray(gq).ravel(), np.asarray(ge).ravel()
+    corr = np.corrcoef(gq_, ge_)[0, 1]
+    assert corr > 0.9
+    assert not np.allclose(gq_, ge_)
+    # max |error| bounded by the grid step: 2*max|g| / (2^k - 1) per element
+    step = 2 * np.abs(ge_).max() / (2**6 - 1)
+    assert np.max(np.abs(gq_ - ge_)) <= 2 * step + 1e-6
+    # eval forward needs no quant rng
+    layer.apply(v, x, train=False)

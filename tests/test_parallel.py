@@ -97,3 +97,33 @@ def test_graft_entry_dryrun():
     out = jax.jit(fwd)(*args)
     assert out.shape == (8, 10)
     mod.dryrun_multichip(8)
+
+
+def test_stochastic_quant_deterministic_across_mesh():
+    """SURVEY.md §7 hard-part 3: stochastic quantizers must draw IDENTICAL
+    samples on every device (key folded from host-invariant step), so
+    replicated params stay bit-identical under DP."""
+    import numpy as np
+    import optax
+    from pytorch_quantize_impls_tpu import models, train
+
+    mesh = parallel.make_mesh((8, 1))
+    model = models.BinaryConnectMLP(hidden=16, deterministic=False)
+    x = np.random.default_rng(0).normal(size=(16, 784)).astype(np.float32)
+    y = (np.arange(16) % 10).astype(np.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.asarray(x[:1]), train=True)
+    tx = optax.chain(optax.adam(1e-3), train.clip_quantized_weights())
+    state = train.QuantTrainState.create_for(model, variables, tx, seed=3)
+    state, step = parallel.make_sharded_train_step(
+        state, mesh, has_quant_rng=True
+    )
+    batch = parallel.shard_batch((x, y), mesh)
+    for _ in range(3):
+        state, m = step(state, batch)
+    # params are replicated: every device's copy must be bit-identical
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(s, shards[0])
+    assert np.isfinite(float(m["loss"]))
