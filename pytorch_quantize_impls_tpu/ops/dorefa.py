@@ -45,7 +45,10 @@ def dorefa_weight(w: Array, bits: int) -> Array:
     if bits >= 32:
         return w
     t = jnp.tanh(w)
-    t = t / (2.0 * jnp.max(jnp.abs(t))) + 0.5
+    # all-zero weights would divide 0/0 -> NaN (forward AND cotangent);
+    # where-guard keeps both finite (grad flows only through the live branch)
+    m = jnp.max(jnp.abs(t))
+    t = t / (2.0 * jnp.where(m > 0, m, 1.0)) + 0.5
     return 2.0 * quantize_k(t, bits) - 1.0
 
 
