@@ -9,6 +9,7 @@ class templates + noise) so end-to-end accuracy tests remain meaningful.
 
 from pytorch_quantize_impls_tpu.data.datasets import (  # noqa: F401
     cifar10,
+    digits,
     iterate_batches,
     mnist,
     synthetic_image_classification,

@@ -115,6 +115,31 @@ def cifar10() -> Tuple[Batch, Batch]:
     return synthetic_image_classification((32, 32, 3), 10, 12800, 2560, seed=1)
 
 
+def digits(flatten: bool = False, *, test_frac: float = 0.2) -> Tuple[Batch, Batch]:
+    """Real handwritten digits (sklearn's bundled UCI optdigits, 1797x8x8).
+
+    The one image-classification dataset shipped on this machine — used as a
+    REAL-data accuracy anchor next to the synthetic MNIST/CIFAR stand-ins
+    (SURVEY.md §0: no network, no torchvision data). Pixels are 0..16;
+    normalized to ~zero-mean/unit-var. Deterministic split.
+    """
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    x = d.images.astype(np.float32)[..., None]  # (1797, 8, 8, 1)
+    y = d.target.astype(np.int32)
+    x = (x - x.mean()) / (x.std() + 1e-8)
+    rng = np.random.default_rng(42)
+    perm = rng.permutation(len(x))
+    x, y = x[perm], y[perm]
+    n_test = int(len(x) * test_frac)
+    xtr, ytr, xte, yte = x[n_test:], y[n_test:], x[:n_test], y[:n_test]
+    if flatten:
+        xtr = xtr.reshape(len(xtr), -1)
+        xte = xte.reshape(len(xte), -1)
+    return (xtr, ytr), (xte, yte)
+
+
 def iterate_batches(
     data: Batch, batch_size: int, *, seed: int = 0, epochs: Optional[int] = None
 ) -> Iterator[Batch]:

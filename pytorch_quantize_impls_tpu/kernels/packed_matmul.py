@@ -115,7 +115,15 @@ def dorefa_gemm(
     # per-row code sum for the affine correction (cheap XLA reduce)
     rowsum = jnp.sum(a_codes.astype(jnp.float32), axis=1, keepdims=True)
 
-    tm, tn, tk = tiles or common.pick_tiles(m, n, kp)
+    # v5e-tuned (kernel_bench --kernel dorefa): (256, 512, 4096) -> 354 T/s,
+    # 11.6x fp32; smaller TM than binary since the f=32/bits unpack writes
+    # a larger decoded tile per step.
+    if tiles is None:
+        tm = min(common.round_up(m, 128), 256)
+        tn = min(common.round_up(n, 128), 512)
+        tk = min(common.round_up(kp, 128), 4096)
+    else:
+        tm, tn, tk = tiles
     tk = min(common.round_up(tk, gk), kp)
     mp, np_, kp2 = common.round_up(m, tm), common.round_up(n, tn), common.round_up(kp, tk)
     a_codes = common.pad_dim(common.pad_dim(a_codes, 0, mp), 1, kp2)

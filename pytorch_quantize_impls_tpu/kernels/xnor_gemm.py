@@ -160,6 +160,127 @@ def binary_gemm(
     return out[:m, :n]
 
 
+def _ws_kernel(x_ref, w_ref, alpha_ref, row_ref, o_ref, acc_ref, wdec_ref, *,
+               n_k: int, n_i: int, tm: int, use_alpha: bool, use_row: bool):
+    """Weight-stationary-unpack kernel body: grid (j, k, i), i innermost.
+
+    Each packed w tile (k, j) is unpacked ONCE (at i == 0) into the wdec
+    VMEM scratch and reused by every M-tile; the accumulator is a full
+    (n_i*tm, tn) strip so all M-tiles' partial sums persist across k.
+    """
+    k = pl.program_id(1)
+    i = pl.program_id(2)
+    rows = pl.ds(i * tm, tm)
+
+    @pl.when(i == 0)
+    def _():
+        wdec_ref[:] = _unpack_pm1(w_ref[:])
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[rows, :] = jnp.zeros((tm, acc_ref.shape[1]), jnp.int32)
+
+    acc_ref[rows, :] += jnp.dot(
+        x_ref[:], wdec_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        acc = acc_ref[rows, :].astype(jnp.float32)
+        if use_alpha:
+            acc = acc * alpha_ref[:]
+        if use_row:
+            acc = acc * row_ref[:]
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret", "tiles")
+)
+def binary_gemm_ws(
+    x_i8: jax.Array,
+    w_packed: jax.Array,
+    alpha: Optional[jax.Array] = None,
+    row_scale: Optional[jax.Array] = None,
+    *,
+    out_dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+    tiles=None,
+):
+    """Packed-resident binary GEMM with single unpack per weight tile.
+
+    Same contract as :func:`binary_gemm`; faster when M is large enough
+    that re-unpacking weights per M-tile dominates (the default kernel
+    unpacks each (k, j) tile M/TM times; this one, once).
+    """
+    if interpret is None:
+        interpret = common.use_interpret()
+    gk = packlib.planar_group_k(1)
+    m, k = x_i8.shape
+    r, n = w_packed.shape
+    kp = r * 32
+    assert k <= kp and kp % gk == 0, (k, kp)
+    x_i8 = common.pad_dim(x_i8, 1, kp)
+
+    # v5e-tuned default (kernel_bench --kernel binary_ws): 272 T/s, 8.7x fp32
+    tm, tn, tk = tiles or (256, 512, 2048)
+    tn = min(common.round_up(n, 128), tn)
+    tk = min(common.round_up(tk, gk), kp)
+    mp, np_, kp2 = common.round_up(m, tm), common.round_up(n, tn), common.round_up(kp, tk)
+    x_i8 = common.pad_dim(common.pad_dim(x_i8, 0, mp), 1, kp2)
+    w_packed = common.pad_dim(common.pad_dim(w_packed, 0, kp2 // 32), 1, np_)
+
+    use_alpha = alpha is not None
+    use_row = row_scale is not None
+    a2 = (
+        common.pad_dim(alpha.astype(jnp.float32).reshape(1, n), 1, np_)
+        if use_alpha
+        else jnp.zeros((1, np_), jnp.float32)
+    )
+    r2 = (
+        common.pad_dim(row_scale.astype(jnp.float32).reshape(m, 1), 0, mp)
+        if use_row
+        else jnp.zeros((mp, 1), jnp.float32)
+    )
+
+    n_k = kp2 // tk
+    n_i = mp // tm
+    grid = (np_ // tn, n_k, n_i)
+    out = pl.pallas_call(
+        functools.partial(
+            _ws_kernel, n_k=n_k, n_i=n_i, tm=tm,
+            use_alpha=use_alpha, use_row=use_row,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda j, k, i: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tk // 32, tn), lambda j, k, i: (k, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, tn), lambda j, k, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda j, k, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda j, k, i: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((mp, tn), jnp.int32),
+            pltpu.VMEM((tk, tn), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp2,
+            bytes_accessed=mp * kp2 * (np_ // tn) + kp2 * np_ // 8 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_i8, w_packed, a2, r2)
+    return out[:m, :n]
+
+
 def _decode_kernel(p_ref, o_ref):
     o_ref[:] = _unpack_pm1(p_ref[:])
 
@@ -193,7 +314,7 @@ def decode_binary_weights(w_packed: jax.Array, *, interpret=None) -> jax.Array:
     return out[:, :n]
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def binary_gemm_decoded(
     x_i8: jax.Array,
     w_i8: jax.Array,
@@ -201,19 +322,19 @@ def binary_gemm_decoded(
     row_scale: Optional[jax.Array] = None,
     *,
     out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
 ):
-    """Weight-stationary fast path: pre-decoded ±1 int8 weights, pure int8
-    MXU GEMM + fused epilogue (~390 T/s measured; use for compute-bound
-    shapes / serving steady state)."""
+    """Weight-stationary fast path: pre-decoded ±1 int8 weights through the
+    Pallas tiled int8 GEMM (XLA's own int8 dot widens through fp32 on v5e
+    and lands ~10x slower). Use for compute-bound shapes / serving steady
+    state; weights stay 4x smaller than f32."""
+    from pytorch_quantize_impls_tpu.kernels import int8_matmul
+
     k = w_i8.shape[0]
     x_i8 = common.pad_dim(x_i8, 1, k)
-    acc = jnp.dot(x_i8, w_i8, preferred_element_type=jnp.int32)
-    out = acc.astype(out_dtype)
-    if alpha is not None:
-        out = out * alpha.astype(out_dtype)[None, :]
-    if row_scale is not None:
-        out = out * row_scale.astype(out_dtype)[:, None]
-    return out
+    return int8_matmul.int8_gemm(
+        x_i8, w_i8, alpha, row_scale, out_dtype=out_dtype, interpret=interpret
+    )
 
 
 def binary_gemm_reference(x_i8, w_packed, alpha=None, row_scale=None):

@@ -48,6 +48,8 @@ SCHEME_CONFIGS = {
     "xnor_cifar": _mk("xnor_cifar", w_bits=1, a_bits=1),
     "dorefa_resnet20": _mk("dorefa_resnet20", w_bits=4, a_bits=4),
     "logquant_vgg": _mk("logquant_vgg", w_bits=4, fsr=1.0),
+    # REAL-data anchor (sklearn bundled digits; see data.digits docstring)
+    "binaryconnect_digits": _mk("binaryconnect_digits", w_bits=1, batch_size=64),
 }
 
 
@@ -66,6 +68,14 @@ def build_model(cfg: RunConfig, *, fp32: bool = False):
             ),
             (28 * 28,),
             "mnist",
+        )
+    if cfg.config == "binaryconnect_digits":
+        return (
+            models.BinaryConnectMLP(
+                hidden=128, deterministic=cfg.deterministic, quantized=q
+            ),
+            (8 * 8,),
+            "digits",
         )
     if cfg.config == "bnn_lenet":
         return models.BNNLeNet(quantized=q), (28, 28, 1), "mnist"

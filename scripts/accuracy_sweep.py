@@ -36,6 +36,8 @@ def run_one(cfg: RunConfig, *, fp32: bool, steps: int, lr: float) -> dict:
     model, input_shape, dataset = build_model(cfg, fp32=fp32)
     if dataset == "mnist":
         train_data, test_data = data.mnist(flatten=(len(input_shape) == 1))
+    elif dataset == "digits":
+        train_data, test_data = data.digits(flatten=(len(input_shape) == 1))
     else:
         train_data, test_data = data.cifar10()
 

@@ -31,15 +31,24 @@ def _force(x) -> float:
 
 
 def _bench(fn, *args, iters=20, roundtrip=0.0) -> float:
-    out = fn(*args)
-    _force(out)
-    best = float("inf")
-    for _ in range(2):
+    """Differential timing: time N and 2N dispatch-chains, report
+    (T(2N)-T(N))/N. The axon relay adds a large, noisy constant per
+    synchronization (~25-60 ms); subtracting a separately-calibrated
+    roundtrip is hopeless, but the constant cancels in the difference."""
+    del roundtrip
+    _force(fn(*args))  # compile + settle
+
+    def run(n: int) -> float:
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        _force(outs[-1])
-        best = min(best, (time.perf_counter() - t0 - roundtrip) / iters)
-    return max(best, 1e-9)
+        o = None
+        for _ in range(n):
+            o = fn(*args)  # drop the previous ref: don't hold n x 64MB
+        _force(o)
+        return time.perf_counter() - t0
+
+    t_n = min(run(iters) for _ in range(3))
+    t_2n = min(run(2 * iters) for _ in range(3))
+    return max((t_2n - t_n) / iters, 1e-9)
 
 
 def _calibrate() -> float:
@@ -57,7 +66,8 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--shape", nargs=3, type=int, default=[4096, 4096, 4096])
     p.add_argument("--kernel", default="binary",
-                   choices=["binary", "dorefa", "shift"])
+                   choices=["binary", "binary_ws", "binary_decoded",
+                            "dorefa", "shift"])
     p.add_argument("--bits", type=int, default=4, help="dorefa code width")
     p.add_argument("--tm", nargs="*", type=int, default=[256, 512, 1024])
     p.add_argument("--tn", nargs="*", type=int, default=[128, 256, 512])
@@ -99,6 +109,21 @@ def main() -> int:
         run = lambda tiles: _bench(
             lambda p_, q_, al: bgm.binary_gemm(p_, q_, al, tiles=tiles),
             xi, wp, alpha, iters=a.iters, roundtrip=rt)
+    elif a.kernel == "binary_ws":
+        xi = bgm.binarize_to_int8(x)
+        wp = bgm.pack_binary_weights(w)
+        alpha = jnp.abs(w).mean(0)
+        run = lambda tiles: _bench(
+            lambda p_, q_, al: bgm.binary_gemm_ws(p_, q_, al, tiles=tiles),
+            xi, wp, alpha, iters=a.iters, roundtrip=rt)
+    elif a.kernel == "binary_decoded":
+        from pytorch_quantize_impls_tpu.kernels import int8_matmul as im
+        xi = bgm.binarize_to_int8(x)
+        w8 = bgm.decode_binary_weights(bgm.pack_binary_weights(w))
+        alpha = jnp.abs(w).mean(0)
+        run = lambda tiles: _bench(
+            lambda p_, q_, al: im.int8_gemm(p_, q_, al, tiles=tiles),
+            xi, w8, alpha, iters=a.iters, roundtrip=rt)
     elif a.kernel == "dorefa":
         wq = ops.dorefa_weight(w, a.bits)
         codes = pmm.dorefa_act_to_int8(ops.dorefa_activation(jnp.abs(x), a.bits), a.bits)

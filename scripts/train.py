@@ -88,6 +88,8 @@ def main() -> int:
 
     if dataset == "mnist":
         train_data, test_data = data.mnist(flatten=(len(input_shape) == 1))
+    elif dataset == "digits":
+        train_data, test_data = data.digits(flatten=(len(input_shape) == 1))
     else:
         train_data, test_data = data.cifar10()
     log.info("train=%s test=%s", train_data[0].shape, test_data[0].shape)

@@ -50,6 +50,18 @@ def test_binary_gemm_row_scale():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
 
 
+@pytest.mark.parametrize("m,k,n", [(64, 128, 128), (300, 2100, 260)])
+def test_binary_gemm_ws_parity(m, k, n):
+    x = jnp.asarray(_rand(m, k))
+    w = jnp.asarray(_rand(k, n))
+    xi, wp = bg.binarize_to_int8(x), bg.pack_binary_weights(w)
+    alpha = jnp.abs(w).mean(0)
+    row = jnp.abs(x).mean(1)
+    got = bg.binary_gemm_ws(xi, wp, alpha, row, tiles=(128, 128, 1024))
+    ref = bg.binary_gemm_reference(xi, wp, alpha, row)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
 def test_decode_and_decoded_gemm():
     x, w = jnp.asarray(_rand(16, 2048)), jnp.asarray(_rand(2048, 256))
     wp = bg.pack_binary_weights(w)
@@ -61,6 +73,23 @@ def test_decode_and_decoded_gemm():
     out = bg.binary_gemm_decoded(xi, w8, out_dtype=jnp.float32)
     direct = ops.safe_sign(x) @ ops.safe_sign(w)
     np.testing.assert_allclose(np.asarray(out[:, :256]), np.asarray(direct), rtol=1e-5)
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 128, 128), (33, 300, 130), (130, 2100, 257)])
+def test_int8_gemm_parity(m, k, n):
+    from pytorch_quantize_impls_tpu.kernels import int8_matmul as im
+
+    x = jnp.asarray(RNG.integers(-127, 127, size=(m, k)).astype(np.int8))
+    w = jnp.asarray(RNG.integers(-127, 127, size=(k, n)).astype(np.int8))
+    alpha = jnp.asarray(_rand(n))
+    row = jnp.asarray(_rand(m))
+    got = im.int8_gemm(x, w, alpha, row)
+    ref = im.int8_gemm_reference(x, w, alpha, row)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+    # no-scale variant is integer-exact
+    got2 = im.int8_gemm(x, w)
+    ref2 = im.int8_gemm_reference(x, w)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
 
 
 @pytest.mark.parametrize("w_bits,a_bits", [(2, 2), (4, 4), (4, 7)])

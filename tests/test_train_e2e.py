@@ -66,6 +66,18 @@ def test_dorefa_mlp_learns(mnist_small):
     assert acc > 0.8, acc
 
 
+def test_binary_mlp_learns_real_digits():
+    """REAL-data anchor: sklearn's bundled handwritten digits (data.digits).
+
+    The only real image data on this machine (SURVEY.md §0: no network); a
+    binarized MLP must reach >90% test accuracy on it.
+    """
+    tr, te = data.digits(flatten=True)
+    model = models.MLP(features=(128, 128, 10), layer="bin")
+    _, acc = _train(model, tr, te, steps=300)
+    assert acc > 0.9, f"binary MLP on real digits: {acc}"
+
+
 def test_elastic_training_pulls_weights_to_grid(mnist_small):
     import flax.linen as fnn
     from pytorch_quantize_impls_tpu import nn as qnn
