@@ -48,4 +48,9 @@ from pytorch_quantize_impls_tpu.ops.xnor import (  # noqa: F401
     xnor_input_scale_map,
     xnor_quantize,
 )
+from pytorch_quantize_impls_tpu.ops.registry import (  # noqa: F401
+    SCHEMES,
+    STOCHASTIC_SCHEMES,
+    get_quantizer,
+)
 from pytorch_quantize_impls_tpu.ops import pack  # noqa: F401
