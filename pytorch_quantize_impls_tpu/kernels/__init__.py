@@ -2,17 +2,20 @@
 
 NEW scope — the reference computes fake-quant on fp32 tensors through
 cuBLAS/cuDNN (SURVEY.md §2 "Native-kernel components — reference has NONE");
-BASELINE.json:5 mandates real packed execution. Design (measured on v5e):
+BASELINE.json:5 mandates real packed execution. Design (measured on v5e,
+4096³, differential timing — see docs/DESIGN.md §7):
 
 * fp32 matmul (honest, HIGHEST)      ~ 31 TFLOP/s
-* bf16 MXU                           ~184 TFLOP/s
-* int8 MXU                           ~377 TOP/s   (96% of the 394 peak)
+* bf16 MXU                           ~150 TFLOP/s
+* int8 MXU (Pallas, native)          ~330-393 TOP/s (84-100% of 394 peak)
+* binary fused packed GEMM           ~367 T/s = 11.8x fp32
 
 so every kernel here decodes packed weights IN VMEM and feeds the MXU with
 int8/bf16 — the TPU-native answer to CUDA popcount tricks (the VPU popcount
 route tops out ~40 Top/s; the MXU route is ~10x faster AND keeps the 1-bit
 HBM footprint). Weights use planar bit-packing (``ops.pack.pack_bitplanes``)
-so in-kernel unpack is shift+mask+concat only.
+so in-kernel unpack is shift+mask+concat only. NB: go through Pallas for
+int8 — XLA's own int8 ``jnp.dot`` widens through fp32 on v5e, ~10x slower.
 
 Kernels fall back to ``interpret=True`` off-TPU (CI runs them on CPU).
 """
