@@ -8,7 +8,7 @@ fp32 twin (``quantized=False``) serves the Δ-accuracy parity runs.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as fnn
 import jax.numpy as jnp
@@ -24,35 +24,48 @@ class MLP(fnn.Module):
     bits: int = 4
     fsr: float = 1.0
     use_batchnorm: bool = True
+    # Output layer scheme. None -> same as `layer`, EXCEPT stochastic
+    # schemes default to their deterministic twin: a stochastically
+    # re-drawn head emits noise logits of std ~sqrt(fan_in) that swamp the
+    # CE loss signal and stall training (measured: digits eval 0.08 with a
+    # stochastic head vs 0.73+ with a deterministic one).
+    head_layer: Optional[str] = None
 
-    def _dense(self, f: int, name: str):
-        if self.layer == "bin":
+    def _dense(self, kind: str, f: int, name: str):
+        if kind == "bin":
             return qnn.LinearBin(features=f, name=name)
-        if self.layer == "bin_stoch":
+        if kind == "bin_stoch":
             return qnn.LinearBin(features=f, deterministic=False, name=name)
-        if self.layer == "ternary":
+        if kind == "ternary":
             return qnn.LinearTer(features=f, name=name)
-        if self.layer == "dorefa":
+        if kind == "ternary_stoch":
+            return qnn.LinearTer(features=f, deterministic=False, name=name)
+        if kind == "dorefa":
             return qnn.LinearDorefa(features=f, bits=self.bits, name=name)
-        if self.layer == "log":
+        if kind == "log":
             return qnn.LinearQuantLog(features=f, fsr=self.fsr, bits=self.bits, name=name)
-        if self.layer == "lin":
+        if kind == "lin":
             return qnn.LinearQuantLin(features=f, fsr=self.fsr, bits=self.bits, name=name)
-        if self.layer == "fp32":
+        if kind == "fp32":
             return fnn.Dense(features=f, name=name)
-        raise ValueError(f"unknown layer kind {self.layer!r}")
+        raise ValueError(f"unknown layer kind {kind!r}")
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
         x = x.reshape((x.shape[0], -1))
         for i, f in enumerate(self.features[:-1]):
-            layer = self._dense(f, f"layer{i}")
+            layer = self._dense(self.layer, f, f"layer{i}")
             x = layer(x, train=train) if self.layer != "fp32" else layer(x)
             if self.use_batchnorm:
                 x = fnn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
             x = fnn.relu(x)
-        layer = self._dense(self.features[-1], "head")
-        x = layer(x, train=train) if self.layer != "fp32" else layer(x)
+        head_kind = self.head_layer
+        if head_kind is None:
+            head_kind = {"bin_stoch": "bin", "ternary_stoch": "ternary"}.get(
+                self.layer, self.layer
+            )
+        layer = self._dense(head_kind, self.features[-1], "head")
+        x = layer(x, train=train) if head_kind != "fp32" else layer(x)
         return x
 
 

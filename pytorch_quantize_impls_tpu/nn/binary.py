@@ -24,9 +24,14 @@ from pytorch_quantize_impls_tpu.nn.base import QuantConv, QuantDense, stochastic
 def _binary_weight_quant(deterministic: bool, ste_mode: str):
     if deterministic:
         return partial(ops.binary_connect_det, ste_mode=ste_mode)
+    # Test-time rule for stochastic binarization (BinaryConnect §2.4): use
+    # the real-valued master weights — E[W_b] = 2*hard_sigmoid(w)-1 = w, so
+    # the clipped master IS the ensemble-average network. Evaluating with
+    # sign(w) instead is a different net and collapses accuracy (~25% on
+    # digits vs ~99%).
     return stochastic(
         partial(ops.binary_connect_stoch, ste_mode=ste_mode),
-        eval_fn=partial(ops.binary_connect_det, ste_mode=ste_mode),
+        eval_fn=lambda w: jnp.clip(w, -1.0, 1.0),
     )
 
 

@@ -14,7 +14,13 @@ from pytorch_quantize_impls_tpu.nn.base import QuantConv, QuantDense, stochastic
 def _ternary_quant(deterministic: bool):
     if deterministic:
         return ops.ternary_connect_det
-    return stochastic(ops.ternary_connect_stoch, eval_fn=ops.ternary_connect_det)
+    # Same test-time rule as stochastic BinaryConnect (see nn/binary.py):
+    # E[T(w)] = sign(w)*|w| = clip(w), so eval uses the clipped master.
+    import jax.numpy as jnp
+
+    return stochastic(
+        ops.ternary_connect_stoch, eval_fn=lambda w: jnp.clip(w, -1.0, 1.0)
+    )
 
 
 class LinearTer(nn.Module):

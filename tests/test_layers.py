@@ -40,11 +40,14 @@ def test_linear_bin_stochastic_needs_rng_and_eval_deterministic():
     y1 = layer.apply(params, X, train=True, rngs={"quant": jax.random.PRNGKey(5)})
     y2 = layer.apply(params, X, train=True, rngs={"quant": jax.random.PRNGKey(6)})
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
-    # eval mode: deterministic sign, no rng needed
+    # eval mode: no rng needed; uses the clipped real-valued master weights
+    # (BinaryConnect §2.4 test-time rule for stochastic: E[W_b] = w, so the
+    # mean network IS the master — sign(w) would be a different net and
+    # collapses accuracy, see test_train_e2e.test_stochastic_binary_mlp_learns)
     ye = layer.apply(params, X, train=False)
     w = _kernel(params)
     b = params["params"]["dense"]["bias"]
-    np.testing.assert_allclose(ye, X @ ops.binary_connect_det(w) + b, rtol=1e-5)
+    np.testing.assert_allclose(ye, X @ jnp.clip(w, -1, 1) + b, rtol=1e-5)
 
 
 def test_bin_conv_full_bnn_binarizes_input():

@@ -78,6 +78,38 @@ def test_binary_mlp_learns_real_digits():
     assert acc > 0.9, f"binary MLP on real digits: {acc}"
 
 
+def test_stochastic_binary_mlp_learns(mnist_small):
+    """Regression: stochastic BinaryConnect must actually train.
+
+    Two failure modes this pins down: (a) a stochastically re-drawn HEAD
+    layer emits noise logits of std ~sqrt(fan_in) that swamp the CE signal
+    (MLP defaults the head to the deterministic twin); (b) eval must use the
+    clipped real-valued master weights (BinaryConnect §2.4 test-time option
+    for stochastic — E[W_b] = w), not sign(w). With either wrong, accuracy
+    sits at chance (~0.1); with both right this task trains to ~1.0.
+    """
+    tr, te = mnist_small
+    model = models.MLP(features=(256, 256, 10), layer="bin_stoch")
+
+    x0 = jnp.asarray(tr[0][:1])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)},
+        x0, train=True,
+    )
+    tx = optax.chain(
+        optax.adam(optax.cosine_decay_schedule(3e-3, 600)),
+        train.clip_quantized_weights(),
+    )
+    state = train.QuantTrainState.create_for(model, variables, tx)
+    step = train.make_train_step(donate=False, has_quant_rng=True)
+    for i, batch in enumerate(data.iterate_batches(tr, BATCH, epochs=None)):
+        if i >= 600:
+            break
+        state, _ = step(state, (jnp.asarray(batch[0]), jnp.asarray(batch[1])))
+    m = train.make_eval_step()(state, (jnp.asarray(te[0]), jnp.asarray(te[1])))
+    assert float(m["accuracy"]) > 0.9, float(m["accuracy"])
+
+
 def test_elastic_training_pulls_weights_to_grid(mnist_small):
     import flax.linen as fnn
     from pytorch_quantize_impls_tpu import nn as qnn
