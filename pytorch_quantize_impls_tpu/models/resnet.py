@@ -78,6 +78,10 @@ class DorefaResNet20(fnn.Module):
     a_bits: int = 4
     quantized: bool = True
     width: int = 16
+    # Rematerialize each residual block in backward (jax.checkpoint): trades
+    # ~30% more FLOPs for O(depth) less activation HBM — the knob to flip
+    # when batch x activations exceed HBM at scale.
+    remat: bool = False
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
@@ -88,16 +92,20 @@ class DorefaResNet20(fnn.Module):
         x = fnn.relu(x)
         if self.quantized and self.a_bits:
             x = ops.dorefa_activation(x, self.a_bits)
+        block_cls = (
+            fnn.remat(_BasicBlock, static_argnums=(2,)) if self.remat
+            else _BasicBlock
+        )
         for stage, (f, s) in enumerate([(w, 1), (2 * w, 2), (4 * w, 2)]):
             for block in range(3):
-                x = _BasicBlock(
+                x = block_cls(
                     features=f,
                     strides=s if block == 0 else 1,
                     w_bits=self.w_bits,
                     a_bits=self.a_bits,
                     quantized=self.quantized,
                     name=f"stage{stage}_block{block}",
-                )(x, train=train)
+                )(x, train)
         x = jnp.mean(x, axis=(1, 2))
         # Final classifier full-precision (DoReFa practice)
         return fnn.Dense(features=self.classes, name="head")(x)

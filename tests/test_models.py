@@ -97,3 +97,24 @@ def test_fp32_twins_exist():
         ) else x
         out = m.init_with_output({"params": KEY}, xx, train=False)[0]
         assert out.shape == (2, 10)
+
+
+def test_resnet_remat_matches_plain():
+    """remat=True must be numerically identical (it only changes what the
+    backward pass rematerializes, not the math)."""
+    import optax
+    from pytorch_quantize_impls_tpu import train
+
+    x = jax.random.normal(KEY, (4, 32, 32, 3))
+    y = jnp.arange(4) % 10
+    losses = []
+    for remat in (False, True):
+        model = models.DorefaResNet20(w_bits=4, a_bits=4, width=8, remat=remat)
+        v = model.init({"params": KEY}, x, train=True)
+        tx = optax.chain(optax.adam(1e-3), train.clip_quantized_weights())
+        st = train.QuantTrainState.create_for(model, v, tx)
+        step = train.make_train_step(donate=False)
+        st, m = step(st, (x, y))
+        st, m2 = step(st, (x, y))  # second step exercises grads through remat
+        losses.append((float(m["loss"]), float(m2["loss"])))
+    assert losses[0] == losses[1], losses
