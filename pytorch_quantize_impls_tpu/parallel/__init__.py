@@ -10,7 +10,9 @@ Multi-host init and explicit shard_map collective-matmul live here too.
 from pytorch_quantize_impls_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
+    assert_host_sync,
     make_mesh,
+    multihost_initialize,
 )
 from pytorch_quantize_impls_tpu.parallel.quantized_collectives import (  # noqa: F401
     comm_bytes_saved,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
@@ -54,3 +55,35 @@ def multihost_initialize(**kwargs) -> None:
         jax.distributed.initialize(**kwargs)
     except RuntimeError:
         pass  # already initialized
+
+
+def assert_host_sync(state, *, atol: float = 0.0) -> None:
+    """Cross-host divergence guard (SURVEY.md §5 "race detection" row).
+
+    All hosts of a multi-host job must hold identical step counters, quant
+    RNG keys, and replicated parameter bytes — divergence here is the SPMD
+    analogue of a data race (it silently corrupts training: each host then
+    samples different stochastic quantization masks). Call periodically
+    (e.g. alongside checkpoints); raises AssertionError on mismatch.
+    No-op in single-process jobs.
+    """
+    if jax.process_count() == 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    step = int(state.step)
+    digest = float(
+        sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in
+            jax.tree_util.tree_leaves(state.params))
+    )
+    key = np.asarray(jax.random.key_data(state.quant_key)).astype(np.float64)
+    local = np.array([float(step), digest, *key.ravel()], np.float64)
+    gathered = multihost_utils.process_allgather(local)
+    ref = gathered[0]
+    for p, row in enumerate(gathered):
+        if not np.allclose(row, ref, atol=atol, rtol=0.0):
+            raise AssertionError(
+                f"host {p} diverged: (step, param-digest, key)={row} "
+                f"vs host 0 {ref}"
+            )

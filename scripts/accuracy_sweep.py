@@ -73,12 +73,14 @@ def run_one(cfg: RunConfig, *, fp32: bool, steps: int, lr: float) -> dict:
 
     eval_step = train.make_eval_step()
     xt, yt = test_data
-    n_eval = len(xt) - len(xt) % 256
-    correct = 0
-    for i in range(0, n_eval, 256):
-        m = eval_step(state, (jnp.asarray(xt[i : i + 256]), jnp.asarray(yt[i : i + 256])))
-        correct += float(m["accuracy"]) * 256
-    acc = correct / n_eval
+    # Full test set — tail batch included (dropping it costs up to 0.4%
+    # resolution on small sets like digits' 359 samples).
+    correct = 0.0
+    for i in range(0, len(xt), 256):
+        xb, yb = jnp.asarray(xt[i : i + 256]), jnp.asarray(yt[i : i + 256])
+        m = eval_step(state, (xb, yb))
+        correct += float(m["accuracy"]) * len(xb)
+    acc = correct / len(xt)
     return {"accuracy": acc, "train_s": round(train_s, 1), "loss": float(metrics["loss"])}
 
 
