@@ -22,3 +22,4 @@ from pytorch_quantize_impls_tpu.infer.packed import (  # noqa: F401
     prepare,
     save_packed,
 )
+from pytorch_quantize_impls_tpu.infer import host_export  # noqa: F401

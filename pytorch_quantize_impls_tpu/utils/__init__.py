@@ -13,3 +13,4 @@ from pytorch_quantize_impls_tpu.utils.config import (  # noqa: F401
     RunConfig,
     SCHEME_CONFIGS,
 )
+from pytorch_quantize_impls_tpu.utils import native  # noqa: F401
