@@ -9,7 +9,7 @@ lowered to shift-based matmul at inference.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as fnn
 
@@ -22,6 +22,8 @@ class XNORConvNet(fnn.Module):
     classes: int = 10
     widths: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
     quantized: bool = True
+    # Mixed-precision compute dtype (fp32 masters untouched).
+    dtype: Optional[Any] = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
@@ -33,22 +35,28 @@ class XNORConvNet(fnn.Module):
                     kernel_size=(3, 3),
                     binarize_input=binarize_input,
                     use_bias=False,
+                    dtype=self.dtype,
                     name=f"conv{i}",
                 )(x, train=train)
             else:
                 x = fnn.Conv(
-                    features=w, kernel_size=(3, 3), use_bias=False, name=f"conv{i}"
+                    features=w, kernel_size=(3, 3), use_bias=False,
+                    dtype=self.dtype, name=f"conv{i}"
                 )(x)
-            x = fnn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+            x = fnn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, name=f"bn{i}"
+            )(x)
             if i % 2 == 1:
                 x = fnn.max_pool(x, (2, 2), strides=(2, 2))
             if not self.quantized:
                 x = fnn.relu(x)
         x = x.reshape((x.shape[0], -1))
         if self.quantized:
-            x = qnn.XNORLinear(features=self.classes, name="head")(x, train=train)
+            x = qnn.XNORLinear(
+                features=self.classes, dtype=self.dtype, name="head"
+            )(x, train=train)
         else:
-            x = fnn.Dense(features=self.classes, name="head")(x)
+            x = fnn.Dense(features=self.classes, dtype=self.dtype, name="head")(x)
         return x
 
 
@@ -64,6 +72,8 @@ class LogQuantVGGSmall(fnn.Module):
     bits: int = 4
     fsr: float = 1.0
     quantized: bool = True
+    # Mixed-precision compute dtype (fp32 masters untouched).
+    dtype: Optional[Any] = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
@@ -75,21 +85,26 @@ class LogQuantVGGSmall(fnn.Module):
                     fsr=self.fsr,
                     bits=self.bits,
                     use_bias=False,
+                    dtype=self.dtype,
                     name=f"conv{i}",
                 )(x, train=train)
             else:
                 x = fnn.Conv(
-                    features=w, kernel_size=(3, 3), use_bias=False, name=f"conv{i}"
+                    features=w, kernel_size=(3, 3), use_bias=False,
+                    dtype=self.dtype, name=f"conv{i}"
                 )(x)
-            x = fnn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+            x = fnn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, name=f"bn{i}"
+            )(x)
             x = fnn.relu(x)
             if i % 2 == 1:
                 x = fnn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape((x.shape[0], -1))
         if self.quantized:
             x = qnn.LinearQuantLog(
-                features=self.classes, fsr=self.fsr, bits=self.bits, name="head"
+                features=self.classes, fsr=self.fsr, bits=self.bits,
+                dtype=self.dtype, name="head"
             )(x, train=train)
         else:
-            x = fnn.Dense(features=self.classes, name="head")(x)
+            x = fnn.Dense(features=self.classes, dtype=self.dtype, name="head")(x)
         return x

@@ -8,6 +8,8 @@ last layer is a binary-weight dense classifier.
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as fnn
 
 from pytorch_quantize_impls_tpu import nn as qnn
@@ -17,6 +19,8 @@ class BNNLeNet(fnn.Module):
     classes: int = 10
     quantized: bool = True
     width: int = 32
+    # Mixed-precision compute dtype (fp32 masters untouched).
+    dtype: Optional[Any] = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
@@ -30,32 +34,33 @@ class BNNLeNet(fnn.Module):
                     padding="VALID",
                     binarize_input=binarize_input,
                     use_bias=False,
+                    dtype=self.dtype,
                     name=name,
                 )
             return fnn.Conv(
                 features=f, kernel_size=(5, 5), padding="VALID", use_bias=False,
-                name=name,
+                dtype=self.dtype, name=name,
             )
 
         def dense(f, name, binarize_input=True):
             if self.quantized:
                 return qnn.LinearBin(
                     features=f, binarize_input=binarize_input, use_bias=False,
-                    name=name,
+                    dtype=self.dtype, name=name,
                 )
-            return fnn.Dense(features=f, use_bias=False, name=name)
+            return fnn.Dense(features=f, use_bias=False, dtype=self.dtype, name=name)
 
         def call(layer, x):
             return layer(x, train=train) if self.quantized else layer(x)
 
         x = call(conv(w, "conv1", binarize_input=False), x)  # real-valued input
-        x = fnn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
         x = fnn.max_pool(x, (2, 2), strides=(2, 2))
         x = call(conv(2 * w, "conv2", binarize_input=True), x)
-        x = fnn.BatchNorm(use_running_average=not train, name="bn2")(x)
+        x = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(x)
         x = fnn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape((x.shape[0], -1))
         x = call(dense(8 * w, "fc1"), x)
-        x = fnn.BatchNorm(use_running_average=not train, name="bn3")(x)
+        x = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn3")(x)
         x = call(dense(self.classes, "head"), x)
         return x

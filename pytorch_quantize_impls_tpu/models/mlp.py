@@ -8,7 +8,7 @@ fp32 twin (``quantized=False``) serves the Δ-accuracy parity runs.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as fnn
 import jax.numpy as jnp
@@ -24,6 +24,10 @@ class MLP(fnn.Module):
     bits: int = 4
     fsr: float = 1.0
     use_batchnorm: bool = True
+    # Mixed precision: compute dtype for matmuls/BN (e.g. jnp.bfloat16 for
+    # the MXU fast path); fp32 master weights are unaffected — quantizers
+    # always read the fp32 masters, only the GEMM inputs are cast.
+    dtype: Optional[Any] = None
     # Output layer scheme. None -> same as `layer`, EXCEPT stochastic
     # schemes default to their deterministic twin: a stochastically
     # re-drawn head emits noise logits of std ~sqrt(fan_in) that swamp the
@@ -32,22 +36,23 @@ class MLP(fnn.Module):
     head_layer: Optional[str] = None
 
     def _dense(self, kind: str, f: int, name: str):
+        dt = dict(dtype=self.dtype, name=name)
         if kind == "bin":
-            return qnn.LinearBin(features=f, name=name)
+            return qnn.LinearBin(features=f, **dt)
         if kind == "bin_stoch":
-            return qnn.LinearBin(features=f, deterministic=False, name=name)
+            return qnn.LinearBin(features=f, deterministic=False, **dt)
         if kind == "ternary":
-            return qnn.LinearTer(features=f, name=name)
+            return qnn.LinearTer(features=f, **dt)
         if kind == "ternary_stoch":
-            return qnn.LinearTer(features=f, deterministic=False, name=name)
+            return qnn.LinearTer(features=f, deterministic=False, **dt)
         if kind == "dorefa":
-            return qnn.LinearDorefa(features=f, bits=self.bits, name=name)
+            return qnn.LinearDorefa(features=f, bits=self.bits, **dt)
         if kind == "log":
-            return qnn.LinearQuantLog(features=f, fsr=self.fsr, bits=self.bits, name=name)
+            return qnn.LinearQuantLog(features=f, fsr=self.fsr, bits=self.bits, **dt)
         if kind == "lin":
-            return qnn.LinearQuantLin(features=f, fsr=self.fsr, bits=self.bits, name=name)
+            return qnn.LinearQuantLin(features=f, fsr=self.fsr, bits=self.bits, **dt)
         if kind == "fp32":
-            return fnn.Dense(features=f, name=name)
+            return fnn.Dense(features=f, **dt)
         raise ValueError(f"unknown layer kind {kind!r}")
 
     @fnn.compact
@@ -57,7 +62,9 @@ class MLP(fnn.Module):
             layer = self._dense(self.layer, f, f"layer{i}")
             x = layer(x, train=train) if self.layer != "fp32" else layer(x)
             if self.use_batchnorm:
-                x = fnn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+                x = fnn.BatchNorm(
+                    use_running_average=not train, dtype=self.dtype, name=f"bn{i}"
+                )(x)
             x = fnn.relu(x)
         head_kind = self.head_layer
         if head_kind is None:

@@ -9,7 +9,7 @@ activation quantization clips to [0, 1], so it follows BatchNorm -> ReLU.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as fnn
 import jax.numpy as jnp
@@ -24,6 +24,7 @@ class _BasicBlock(fnn.Module):
     w_bits: int = 4
     a_bits: int = 4
     quantized: bool = True
+    dtype: Optional[Any] = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
@@ -36,13 +37,14 @@ class _BasicBlock(fnn.Module):
                         strides=(s, s),
                         bits=self.w_bits,
                         use_bias=False,
+                        dtype=self.dtype,
                         name=name,
                     ),
                     train=train,
                 )
             return fnn.Conv(
                 features=f, kernel_size=(3, 3), strides=(s, s), use_bias=False,
-                name=name,
+                dtype=self.dtype, name=name,
             )
 
         def act(h):
@@ -53,10 +55,10 @@ class _BasicBlock(fnn.Module):
 
         residual = x
         y = conv(self.features, self.strides, "conv1")(x)
-        y = fnn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y)
         y = act(y)
         y = conv(self.features, 1, "conv2")(y)
-        y = fnn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        y = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y)
         if residual.shape != y.shape:
             # 1x1 projection shortcut (kept fp32 — negligible FLOPs)
             residual = fnn.Conv(
@@ -64,10 +66,11 @@ class _BasicBlock(fnn.Module):
                 kernel_size=(1, 1),
                 strides=(self.strides, self.strides),
                 use_bias=False,
+                dtype=self.dtype,
                 name="proj",
             )(residual)
             residual = fnn.BatchNorm(
-                use_running_average=not train, name="bn_proj"
+                use_running_average=not train, dtype=self.dtype, name="bn_proj"
             )(residual)
         return act(y + residual)
 
@@ -78,6 +81,8 @@ class DorefaResNet20(fnn.Module):
     a_bits: int = 4
     quantized: bool = True
     width: int = 16
+    # Mixed-precision compute dtype (fp32 masters untouched).
+    dtype: Optional[Any] = None
     # Rematerialize each residual block in backward (jax.checkpoint): trades
     # ~30% more FLOPs for O(depth) less activation HBM — the knob to flip
     # when batch x activations exceed HBM at scale.
@@ -87,8 +92,11 @@ class DorefaResNet20(fnn.Module):
     def __call__(self, x, train: bool = True):
         w = self.width
         # First conv full-precision (DoReFa practice)
-        x = fnn.Conv(features=w, kernel_size=(3, 3), use_bias=False, name="stem")(x)
-        x = fnn.BatchNorm(use_running_average=not train, name="bn_stem")(x)
+        x = fnn.Conv(
+            features=w, kernel_size=(3, 3), use_bias=False, dtype=self.dtype,
+            name="stem",
+        )(x)
+        x = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn_stem")(x)
         x = fnn.relu(x)
         if self.quantized and self.a_bits:
             x = ops.dorefa_activation(x, self.a_bits)
@@ -104,8 +112,10 @@ class DorefaResNet20(fnn.Module):
                     w_bits=self.w_bits,
                     a_bits=self.a_bits,
                     quantized=self.quantized,
+                    dtype=self.dtype,
                     name=f"stage{stage}_block{block}",
                 )(x, train)
         x = jnp.mean(x, axis=(1, 2))
-        # Final classifier full-precision (DoReFa practice)
-        return fnn.Dense(features=self.classes, name="head")(x)
+        # Final classifier full-precision (DoReFa practice); head stays in
+        # the compute dtype, loss upcasts to fp32.
+        return fnn.Dense(features=self.classes, dtype=self.dtype, name="head")(x)

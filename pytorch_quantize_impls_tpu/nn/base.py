@@ -90,7 +90,7 @@ class QuantDense(nn.Module):
         y = jnp.dot(x.astype(self.dtype or x.dtype), wq.astype(self.dtype or wq.dtype))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
-            y = y + bias
+            y = y + bias.astype(y.dtype)  # keep compute dtype (bf16 path)
         return y
 
 
@@ -135,7 +135,7 @@ class QuantConv(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
-            y = y + bias
+            y = y + bias.astype(y.dtype)  # keep compute dtype (bf16 path)
         return y
 
 

@@ -46,7 +46,8 @@ class ElasticLinear(nn.Module):
             (x.shape[-1], self.features),
             jnp.float32,
         )
-        y = jnp.dot(x, kernel)
+        cdt = self.dtype or x.dtype
+        y = jnp.dot(x.astype(cdt), kernel.astype(cdt))
         if self.use_bias:
             y = y + self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
@@ -78,9 +79,10 @@ class ElasticConv(nn.Module):
             (kh, kw, x.shape[-1], self.features),
             jnp.float32,
         )
+        cdt = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(cdt),
+            kernel.astype(cdt),
             window_strides=self.strides,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -75,5 +75,5 @@ class XNORConv(nn.Module):
             name="conv",
         )(x, train=train)
         if k_map is not None and self.padding == "SAME":
-            y = y * k_map
+            y = y * k_map.astype(y.dtype)  # keep compute dtype (bf16 path)
         return y

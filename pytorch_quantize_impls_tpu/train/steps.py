@@ -20,6 +20,10 @@ from pytorch_quantize_impls_tpu.train.state import QuantTrainState
 
 
 def cross_entropy(logits, labels):
+    # Upcast: with a bf16 compute dtype (models' `dtype=jnp.bfloat16`) the
+    # logits arrive bf16; the log-sum-exp must run in fp32 or the loss floor
+    # is ~1e-2 off.
+    logits = logits.astype(jnp.float32)
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
 
