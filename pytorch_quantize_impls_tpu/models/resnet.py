@@ -116,6 +116,10 @@ class DorefaResNet20(fnn.Module):
                     name=f"stage{stage}_block{block}",
                 )(x, train)
         x = jnp.mean(x, axis=(1, 2))
-        # Final classifier full-precision (DoReFa practice); head stays in
-        # the compute dtype, loss upcasts to fp32.
-        return fnn.Dense(features=self.classes, dtype=self.dtype, name="head")(x)
+        # Final classifier full-precision (DoReFa practice, arXiv:1606.06160):
+        # the head's FLOPs are negligible, so run it in fp32 regardless of the
+        # model compute dtype to avoid the one precision loss that can cost
+        # measurable accuracy.
+        return fnn.Dense(features=self.classes, dtype=jnp.float32, name="head")(
+            x.astype(jnp.float32)
+        )

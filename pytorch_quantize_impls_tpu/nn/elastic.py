@@ -49,9 +49,10 @@ class ElasticLinear(nn.Module):
         cdt = self.dtype or x.dtype
         y = jnp.dot(x.astype(cdt), kernel.astype(cdt))
         if self.use_bias:
-            y = y + self.param(
+            bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
             )
+            y = y + bias.astype(y.dtype)
         self.sow("losses", "elastic", _penalty(self.grid, kernel, self.fsr, self.bits))
         return y
 
@@ -88,8 +89,9 @@ class ElasticConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            y = y + self.param(
+            bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
             )
+            y = y + bias.astype(y.dtype)
         self.sow("losses", "elastic", _penalty(self.grid, kernel, self.fsr, self.bits))
         return y

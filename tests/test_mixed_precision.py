@@ -36,6 +36,11 @@ MODELS = [
      (2, 16, 16, 3)),
 ]
 
+# DorefaResNet20 deliberately keeps its classifier head in fp32 (DoReFa
+# practice: full-precision final layer; its FLOPs are negligible), so its
+# logits are fp32 even under a bf16 compute dtype.
+FP32_HEAD = {"dorefa_resnet"}
+
 
 @pytest.mark.parametrize("name,build,shape", MODELS, ids=[m[0] for m in MODELS])
 def test_bf16_compute_fp32_masters(name, build, shape):
@@ -45,8 +50,26 @@ def test_bf16_compute_fp32_masters(name, build, shape):
     # Master weights stay fp32 — that is the whole point of the seam.
     assert _leaves_dtypes(variables["params"]) == {jnp.float32.dtype}
     out = model.apply(variables, x, train=False)
-    assert out.dtype == jnp.bfloat16
+    assert out.dtype == (jnp.float32 if name in FP32_HEAD else jnp.bfloat16)
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_elastic_layers_preserve_compute_dtype():
+    """ElasticLinear/ElasticConv must cast their fp32 bias to the compute
+    dtype — with dtype=bf16 the output stays bf16 (no silent fp32 promote)."""
+    from pytorch_quantize_impls_tpu import nn as qnn
+
+    x = jnp.ones((2, 16), jnp.float32)
+    lin = qnn.ElasticLinear(features=8, dtype=jnp.bfloat16)
+    v = lin.init({"params": jax.random.PRNGKey(0)}, x)
+    y, _ = lin.apply(v, x, mutable=["losses"])
+    assert y.dtype == jnp.bfloat16
+
+    xc = jnp.ones((2, 8, 8, 3), jnp.float32)
+    conv = qnn.ElasticConv(features=4, dtype=jnp.bfloat16)
+    vc = conv.init({"params": jax.random.PRNGKey(0)}, xc)
+    yc, _ = conv.apply(vc, xc, mutable=["losses"])
+    assert yc.dtype == jnp.bfloat16
 
 
 def test_bf16_training_learns():
