@@ -34,14 +34,20 @@ from pytorch_quantize_impls_tpu.kernels.int8_matmul import (  # noqa: F401
     int8_gemm_reference,
 )
 from pytorch_quantize_impls_tpu.kernels.packed_matmul import (  # noqa: F401
+    decode_dorefa_weights,
     dorefa_act_to_int8,
     dorefa_gemm,
+    dorefa_gemm_decoded,
     dorefa_gemm_reference,
+    dorefa_gemm_ws,
     pack_dorefa_weights,
 )
 from pytorch_quantize_impls_tpu.kernels.shift_matmul import (  # noqa: F401
+    decode_log_weights,
     pack_log_weights,
     shift_gemm,
+    shift_gemm_decoded,
     shift_gemm_reference,
+    shift_gemm_ws,
 )
 from pytorch_quantize_impls_tpu.kernels.conv import packed_conv2d  # noqa: F401

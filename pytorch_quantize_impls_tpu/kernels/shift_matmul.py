@@ -136,6 +136,156 @@ def shift_gemm(
     return out[:m, :n]
 
 
+def _ws_kernel(x_ref, w_ref, o_ref, acc_ref, wdec_ref, *, n_k, tm, bits, lo):
+    """Weight-stationary-decode body: grid (j, k, i), i innermost.
+
+    Each packed log-code tile (k, j) is decoded to bf16 ONCE (at i == 0)
+    into the wdec VMEM scratch and reused by every M-tile; the accumulator
+    is a full (n_i*tm, tn) strip so all M-tiles' partials persist across k.
+    """
+    k = pl.program_id(1)
+    i = pl.program_id(2)
+    rows = pl.ds(i * tm, tm)
+
+    @pl.when(i == 0)
+    def _():
+        wdec_ref[:] = _decode_bf16(w_ref[:], bits, lo)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[rows, :] = jnp.zeros((tm, acc_ref.shape[1]), jnp.float32)
+
+    acc_ref[rows, :] += jnp.dot(
+        x_ref[:], wdec_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[rows, :].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fsr", "bits", "out_dtype", "interpret", "tiles")
+)
+def shift_gemm_ws(
+    x: jax.Array,
+    w_packed: jax.Array,
+    *,
+    fsr: float,
+    bits: int,
+    out_dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+    tiles=None,
+):
+    """Packed-resident shift GEMM with a single bf16 decode per weight tile.
+
+    Same contract as :func:`shift_gemm`; wins when M is large enough that
+    re-decoding weights per M-tile dominates (the default kernel decodes
+    each (k, j) tile M/TM times; this one, once)."""
+    if interpret is None:
+        interpret = common.use_interpret()
+    lo = int(fsr) - 2**bits
+    gk = packlib.planar_group_k(CODE_BITS)
+    m, k = x.shape
+    r, n = w_packed.shape
+    kp = r * 4
+    assert kp % gk == 0, (kp, gk)
+    x = common.pad_dim(x.astype(jnp.bfloat16), 1, kp)
+
+    tm, tn, tk = tiles or (256, 512, 2048)
+    tn = min(common.round_up(n, 128), tn)
+    tk = min(common.round_up(tk, gk), kp)
+    mp, np_, kp2 = common.round_up(m, tm), common.round_up(n, tn), common.round_up(kp, tk)
+    x = common.pad_dim(common.pad_dim(x, 0, mp), 1, kp2)
+    w_packed = common.pad_dim(common.pad_dim(w_packed, 0, kp2 // 4), 1, np_)
+
+    n_k = kp2 // tk
+    n_i = mp // tm
+    grid = (np_ // tn, n_k, n_i)
+    out = pl.pallas_call(
+        functools.partial(_ws_kernel, n_k=n_k, tm=tm, bits=bits, lo=lo),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda j, k, i: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tk // 4, tn), lambda j, k, i: (k, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda j, k, i: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((mp, tn), jnp.float32),
+            pltpu.VMEM((tk, tn), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp2,
+            bytes_accessed=mp * kp2 * 2 * (np_ // tn) + kp2 * np_
+            + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_packed)
+    return out[:m, :n]
+
+
+def _decode_only_kernel(p_ref, o_ref, *, bits, lo):
+    o_ref[:] = _decode_bf16(p_ref[:], bits, lo)
+
+
+@functools.partial(jax.jit, static_argnames=("fsr", "bits", "interpret"))
+def decode_log_weights(
+    w_packed: jax.Array, *, fsr: float, bits: int, interpret=None
+) -> jax.Array:
+    """Packed log codes -> bf16 ±2^e weights (K, N): one-time decode pass.
+
+    Serving keeps hot log-quant weights decoded (bf16 is exact for powers
+    of two, 2x smaller than f32); cold/TP-resident weights stay packed
+    (4x smaller)."""
+    if interpret is None:
+        interpret = common.use_interpret()
+    lo = int(fsr) - 2**bits
+    gk = packlib.planar_group_k(CODE_BITS)
+    r, n = w_packed.shape
+    k = r * 4
+    tk = min(common.round_up(k, gk), 2048)
+    tn = min(common.round_up(n, 128), 1024)
+    kp = common.round_up(k, tk)
+    np_ = common.round_up(n, tn)
+    w_packed = common.pad_dim(common.pad_dim(w_packed, 0, kp // 4), 1, np_)
+    out = pl.pallas_call(
+        functools.partial(_decode_only_kernel, bits=bits, lo=lo),
+        grid=(kp // tk, np_ // tn),
+        in_specs=[
+            pl.BlockSpec(
+                (tk // 4, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec((tk, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp, np_), jnp.bfloat16),
+        interpret=interpret,
+    )(w_packed)
+    return out[:k, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def shift_gemm_decoded(
+    x: jax.Array, w_bf16: jax.Array, *, out_dtype=jnp.float32
+):
+    """Serving fast path: pre-decoded bf16 power-of-2 weights through the
+    plain XLA bf16 matmul (runs at the full bf16 MXU rate; the shift
+    semantics are already burnt into the exact bf16 bit patterns)."""
+    k = w_bf16.shape[0]
+    xb = common.pad_dim(x.astype(jnp.bfloat16), 1, k)
+    return jnp.dot(xb, w_bf16, preferred_element_type=jnp.float32).astype(
+        out_dtype
+    )
+
+
 def shift_gemm_reference(x, w_packed, *, fsr: float, bits: int):
     """Pure-XLA twin in the same bf16 arithmetic."""
     r, n = w_packed.shape

@@ -108,6 +108,49 @@ def test_dorefa_gemm_parity(w_bits, a_bits):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("w_bits,a_bits", [(2, 2), (4, 4)])
+def test_dorefa_gemm_ws_parity(w_bits, a_bits):
+    m, k, n = 300, 2100, 260
+    w = jnp.asarray(_rand(k, n))
+    x = jnp.asarray(np.abs(_rand(m, k)))
+    wq = ops.dorefa_weight(w, w_bits)
+    aq = ops.dorefa_activation(x, a_bits)
+    wp = pm.pack_dorefa_weights(wq, w_bits)
+    codes = pm.dorefa_act_to_int8(aq, a_bits)
+    got = pm.dorefa_gemm_ws(
+        codes, wp, w_bits=w_bits, a_bits=a_bits, tiles=(128, 128, 1024)
+    )
+    ref = pm.dorefa_gemm_reference(codes, wp, w_bits=w_bits, a_bits=a_bits)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_dorefa_decode_and_decoded_gemm():
+    w_bits, a_bits = 4, 4
+    k, n = 2048, 256
+    w = jnp.asarray(_rand(k, n))
+    x = jnp.asarray(np.abs(_rand(16, k)))
+    wq = ops.dorefa_weight(w, w_bits)
+    wp = pm.pack_dorefa_weights(wq, w_bits)
+    d = pm.decode_dorefa_weights(wp, w_bits=w_bits)
+    # centered codes reconstruct the fake-quant grid exactly
+    n_w = 2**w_bits - 1
+    np.testing.assert_allclose(
+        np.asarray(d[:k].astype(jnp.float32) / n_w), np.asarray(wq), atol=1e-6
+    )
+    aq = ops.dorefa_activation(x, a_bits)
+    codes = pm.dorefa_act_to_int8(aq, a_bits)
+    out = pm.dorefa_gemm_decoded(codes, d, w_bits=w_bits, a_bits=a_bits)
+    fake = aq @ wq
+    np.testing.assert_allclose(
+        np.asarray(out[:, :n]), np.asarray(fake), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dorefa_w8_rejected():
+    with pytest.raises(ValueError, match="w_bits=8"):
+        pm.pack_dorefa_weights(jnp.ones((32, 8)), 8)
+
+
 @pytest.mark.parametrize("fsr,bits", [(1.0, 4), (0.0, 3)])
 def test_shift_gemm_parity(fsr, bits):
     m, k, n = 32, 384, 128
@@ -124,6 +167,39 @@ def test_shift_gemm_parity(fsr, bits):
         preferred_element_type=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(fake), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("fsr,bits", [(1.0, 4), (0.0, 3)])
+def test_shift_gemm_ws_parity(fsr, bits):
+    m, k, n = 300, 2100, 260
+    w = jnp.asarray(_rand(k, n))
+    x = jnp.asarray(_rand(m, k))
+    wp = sm.pack_log_weights(w, fsr, bits)
+    got = sm.shift_gemm_ws(x, wp, fsr=fsr, bits=bits, tiles=(128, 128, 1024))
+    ref = sm.shift_gemm_reference(x, wp, fsr=fsr, bits=bits)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_log_decode_and_decoded_gemm():
+    fsr, bits = 1.0, 4
+    k, n = 1024, 256
+    w = jnp.asarray(_rand(k, n))
+    x = jnp.asarray(_rand(16, k))
+    wp = sm.pack_log_weights(w, fsr, bits)
+    wb = sm.decode_log_weights(wp, fsr=fsr, bits=bits)
+    # decode assembles exact ±2^e bit patterns; ops.log_quant computes
+    # 2.0**e in f32 which rounds 1 ulp off for deep-negative exponents —
+    # the kernel is the *more* exact side, so compare with 1-ulp tolerance
+    np.testing.assert_allclose(
+        np.asarray(wb[:k].astype(jnp.float32)),
+        np.asarray(ops.log_quant(w, fsr, bits)),
+        rtol=1e-6,
+    )
+    out = sm.shift_gemm_decoded(x, wb)
+    ref = sm.shift_gemm_reference(x, wp, fsr=fsr, bits=bits)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :n]), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_grouped_planar_roundtrip_tiled():
