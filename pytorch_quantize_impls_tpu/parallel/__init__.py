@@ -14,6 +14,15 @@ from pytorch_quantize_impls_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     multihost_initialize,
 )
+from pytorch_quantize_impls_tpu.parallel.pipeline import (  # noqa: F401
+    PIPE_AXIS,
+    init_pipeline_mlp,
+    make_pipe_mesh,
+    make_pipeline_train_step,
+    make_pipeline_value_and_grad,
+    pipeline_stages,
+    stack_stage_params,
+)
 from pytorch_quantize_impls_tpu.parallel.quantized_collectives import (  # noqa: F401
     comm_bytes_saved,
     make_quantized_dp_train_step,
