@@ -17,3 +17,8 @@ from pytorch_quantize_impls_tpu.models.convnets import (  # noqa: F401
     XNORConvNet,
 )
 from pytorch_quantize_impls_tpu.models.resnet import DorefaResNet20  # noqa: F401
+from pytorch_quantize_impls_tpu.models.transformer import (  # noqa: F401
+    QuantAttention,
+    QuantTransformerBlock,
+    QuantTransformerLM,
+)

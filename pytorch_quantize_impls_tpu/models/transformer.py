@@ -1,0 +1,201 @@
+"""Quantized transformer — NEW scope extension (the reference's workloads
+are MLP/CNN classifiers only; SURVEY.md §5 records sequence workloads as
+absent there). This model exists to exercise the framework's full parallel
+surface on a sequence workload: DP (batch), TP (head/ffn feature sharding),
+SP (sequence-axis activation sharding — GSPMD inserts the attention
+all-gathers), and EP (``QuantMoE`` expert sharding) — see
+``tests/test_transformer.py`` for the sharded-vs-replicated parity runs.
+
+Quantization follows the reference's layer recipe (SURVEY.md §3.1): every
+projection (QKV, attention-out, FFN) is a ``QuantDense`` with fp32 masters
+fake-quantized per forward under any scheme in the zoo; embeddings, layer
+norms, and the logits head stay full-precision (BinaryConnect/DoReFa keep
+first/last layers fp32). Attention math runs in the compute dtype with an
+fp32 softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pytorch_quantize_impls_tpu.nn.base import QuantDense
+from pytorch_quantize_impls_tpu.nn.binary import _binary_weight_quant
+from pytorch_quantize_impls_tpu.nn.moe import QuantMoE
+from pytorch_quantize_impls_tpu import ops
+
+
+def _weight_quant(scheme: str, w_bits: int, fsr: float):
+    if scheme == "none":
+        return None
+    if scheme == "binary":
+        return _binary_weight_quant(deterministic=True, ste_mode="clip")
+    if scheme == "ternary":
+        return ops.get_quantizer("ternary")
+    if scheme == "dorefa":
+        return ops.get_quantizer("dorefa_weight", bits=w_bits)
+    if scheme == "log":
+        return ops.get_quantizer("log", fsr=fsr, bits=w_bits)
+    if scheme == "lin":
+        return ops.get_quantizer("lin", fsr=fsr, bits=w_bits)
+    raise ValueError(f"unknown scheme {scheme!r}")
+
+
+class QuantAttention(nn.Module):
+    """Multi-head self-attention with quantized QKV/out projections."""
+
+    n_heads: int
+    scheme: str = "binary"
+    w_bits: int = 1
+    fsr: float = 0.0
+    causal: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        b, s, d = x.shape
+        assert d % self.n_heads == 0, (d, self.n_heads)
+        hd = d // self.n_heads
+        wq = _weight_quant(self.scheme, self.w_bits, self.fsr)
+
+        def proj(name):
+            return QuantDense(
+                features=d,
+                weight_quant=wq,
+                use_bias=False,
+                dtype=self.dtype,
+                scheme=self.scheme,
+                w_bits=self.w_bits,
+                fsr=self.fsr,
+                name=name,
+            )(x, train=train)
+
+        q = proj("q").reshape(b, s, self.n_heads, hd)
+        k = proj("k").reshape(b, s, self.n_heads, hd)
+        v = proj("v").reshape(b, s, self.n_heads, hd)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(hd))
+        if self.causal:
+            mask = jnp.tril(jnp.ones((s, s), bool))
+            scores = jnp.where(mask[None, None], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, d)
+        return QuantDense(
+            features=d,
+            weight_quant=wq,
+            use_bias=False,
+            dtype=self.dtype,
+            scheme=self.scheme,
+            w_bits=self.w_bits,
+            fsr=self.fsr,
+            name="out",
+        )(ctx, train=train)
+
+
+class QuantTransformerBlock(nn.Module):
+    """Pre-LN block: LN -> quantized attention -> residual; LN -> quantized
+    FFN (dense MLP, or ``QuantMoE`` when ``n_experts > 0``) -> residual."""
+
+    n_heads: int
+    d_ff: int
+    scheme: str = "binary"
+    w_bits: int = 1
+    fsr: float = 0.0
+    n_experts: int = 0
+    capacity_factor: float = 2.0
+    causal: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        d = x.shape[-1]
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        x = x + QuantAttention(
+            n_heads=self.n_heads,
+            scheme=self.scheme,
+            w_bits=self.w_bits,
+            fsr=self.fsr,
+            causal=self.causal,
+            dtype=self.dtype,
+            name="attn",
+        )(h, train=train)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        if self.n_experts > 0:
+            ff = QuantMoE(
+                n_experts=self.n_experts,
+                d_ff=self.d_ff,
+                scheme=self.scheme,
+                w_bits=self.w_bits,
+                fsr=self.fsr,
+                capacity_factor=self.capacity_factor,
+                dtype=self.dtype,
+                name="moe",
+            )(h, train=train)
+        else:
+            wq = _weight_quant(self.scheme, self.w_bits, self.fsr)
+            ff = QuantDense(
+                features=self.d_ff, weight_quant=wq, dtype=self.dtype,
+                scheme=self.scheme, w_bits=self.w_bits, fsr=self.fsr,
+                name="ffn_in",
+            )(h, train=train)
+            ff = jax.nn.relu(ff)
+            ff = QuantDense(
+                features=d, weight_quant=wq, dtype=self.dtype,
+                scheme=self.scheme, w_bits=self.w_bits, fsr=self.fsr,
+                name="ffn_out",
+            )(ff, train=train)
+        return x + ff
+
+
+class QuantTransformerLM(nn.Module):
+    """Small causal LM over the quantized blocks (serving/parallel demo).
+
+    fp32 embeddings + head (reference practice for first/last layers);
+    everything between is scheme-quantized.
+    """
+
+    vocab: int
+    d_model: int = 128
+    n_heads: int = 4
+    n_layers: int = 2
+    d_ff: int = 256
+    max_len: int = 256
+    scheme: str = "binary"
+    w_bits: int = 1
+    fsr: float = 0.0
+    n_experts: int = 0
+    capacity_factor: float = 2.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, tokens, train: bool = True):
+        b, s = tokens.shape
+        emb = nn.Embed(self.vocab, self.d_model, dtype=jnp.float32, name="embed")
+        x = emb(tokens)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (self.max_len, self.d_model),
+            jnp.float32,
+        )
+        x = (x + pos[None, :s]).astype(self.dtype or x.dtype)
+        for i in range(self.n_layers):
+            x = QuantTransformerBlock(
+                n_heads=self.n_heads,
+                d_ff=self.d_ff,
+                scheme=self.scheme,
+                w_bits=self.w_bits,
+                fsr=self.fsr,
+                n_experts=self.n_experts,
+                capacity_factor=self.capacity_factor,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, train=train)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+        # tied-untied fp32 head
+        return emb.attend(x.astype(jnp.float32))

@@ -41,3 +41,4 @@ from pytorch_quantize_impls_tpu.nn.elastic import (  # noqa: F401
     ElasticLinear,
 )
 from pytorch_quantize_impls_tpu.nn.pact import PACT  # noqa: F401
+from pytorch_quantize_impls_tpu.nn.moe import QuantMoE  # noqa: F401
