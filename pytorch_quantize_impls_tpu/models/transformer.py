@@ -45,7 +45,13 @@ def _weight_quant(scheme: str, w_bits: int, fsr: float):
 
 
 class QuantAttention(nn.Module):
-    """Multi-head self-attention with quantized QKV/out projections."""
+    """Multi-head self-attention with quantized QKV/out projections.
+
+    ``attention_fn`` (optional) replaces the core softmax attention with an
+    injected implementation over ``(b, s, h, hd)`` q/k/v — e.g.
+    ``parallel.make_ring_attention(mesh)`` for context-parallel execution;
+    the injected fn owns its own causal masking.
+    """
 
     n_heads: int
     scheme: str = "binary"
@@ -53,6 +59,7 @@ class QuantAttention(nn.Module):
     fsr: float = 0.0
     causal: bool = True
     dtype: Optional[Any] = None
+    attention_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -77,13 +84,16 @@ class QuantAttention(nn.Module):
         k = proj("k").reshape(b, s, self.n_heads, hd)
         v = proj("v").reshape(b, s, self.n_heads, hd)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(hd))
-        if self.causal:
-            mask = jnp.tril(jnp.ones((s, s), bool))
-            scores = jnp.where(mask[None, None], scores, -1e30)
-        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, d)
+        if self.attention_fn is not None:
+            ctx = self.attention_fn(q, k, v).reshape(b, s, d)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(hd))
+            if self.causal:
+                mask = jnp.tril(jnp.ones((s, s), bool))
+                scores = jnp.where(mask[None, None], scores, -1e30)
+            attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, d)
         return QuantDense(
             features=d,
             weight_quant=wq,
@@ -109,6 +119,7 @@ class QuantTransformerBlock(nn.Module):
     capacity_factor: float = 2.0
     causal: bool = True
     dtype: Optional[Any] = None
+    attention_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -121,6 +132,7 @@ class QuantTransformerBlock(nn.Module):
             fsr=self.fsr,
             causal=self.causal,
             dtype=self.dtype,
+            attention_fn=self.attention_fn,
             name="attn",
         )(h, train=train)
 
@@ -171,6 +183,7 @@ class QuantTransformerLM(nn.Module):
     n_experts: int = 0
     capacity_factor: float = 2.0
     dtype: Optional[Any] = None
+    attention_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, tokens, train: bool = True):
@@ -194,6 +207,7 @@ class QuantTransformerLM(nn.Module):
                 n_experts=self.n_experts,
                 capacity_factor=self.capacity_factor,
                 dtype=self.dtype,
+                attention_fn=self.attention_fn,
                 name=f"block{i}",
             )(x, train=train)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)

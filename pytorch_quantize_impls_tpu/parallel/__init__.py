@@ -23,6 +23,11 @@ from pytorch_quantize_impls_tpu.parallel.pipeline import (  # noqa: F401
     pipeline_stages,
     stack_stage_params,
 )
+from pytorch_quantize_impls_tpu.parallel.ring_attention import (  # noqa: F401
+    full_attention,
+    make_ring_attention,
+    ring_attention_shard,
+)
 from pytorch_quantize_impls_tpu.parallel.quantized_collectives import (  # noqa: F401
     comm_bytes_saved,
     make_quantized_dp_train_step,
