@@ -51,6 +51,16 @@ class QuantAttention(nn.Module):
     injected implementation over ``(b, s, h, hd)`` q/k/v — e.g.
     ``parallel.make_ring_attention(mesh)`` for context-parallel execution;
     the injected fn owns its own causal masking.
+
+    ``decode=True`` enables autoregressive serving with a fixed-capacity
+    (``cache_len``) KV cache held in the flax "cache" collection. The cache
+    is stored int8-quantized per (position, head) group (``ops.quantize_kv``,
+    ``kv_bits`` codes; ``kv_bits=None`` keeps the raw compute dtype) and
+    dequantized on the fly at attention time — HBM-resident decode state is
+    the bandwidth bottleneck at serving time, so quantizing it cuts decode
+    memory traffic ~4x vs fp32. The first decode call may carry the whole
+    prompt (prefill writes positions ``[0, s)``); later calls step one (or
+    more) tokens from the cursor. Decode implies causal attention.
     """
 
     n_heads: int
@@ -60,6 +70,9 @@ class QuantAttention(nn.Module):
     causal: bool = True
     dtype: Optional[Any] = None
     attention_fn: Optional[Any] = None
+    decode: bool = False
+    cache_len: int = 0
+    kv_bits: Optional[int] = 8
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -84,7 +97,10 @@ class QuantAttention(nn.Module):
         k = proj("k").reshape(b, s, self.n_heads, hd)
         v = proj("v").reshape(b, s, self.n_heads, hd)
 
-        if self.attention_fn is not None:
+        if self.decode:
+            assert self.attention_fn is None, "decode uses cached attention"
+            ctx = self._cached_attention(q, k, v, b, s, hd).reshape(b, s, d)
+        elif self.attention_fn is not None:
             ctx = self.attention_fn(q, k, v).reshape(b, s, d)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
@@ -105,6 +121,59 @@ class QuantAttention(nn.Module):
             name="out",
         )(ctx, train=train)
 
+    def _cached_attention(self, q, k, v, b, s, hd):
+        """Write this call's K/V into the (quantized) cache at each slot's
+        cursor, then attend q over the full cache with a cursor-aware causal
+        mask.
+
+        Cursors are PER SLOT (shape ``(b,)``) so a continuous-batching
+        engine can host sequences of different lengths in one batched cache
+        (serve/decode_engine.py). Right-padded prefill is safe: a query at
+        position p only sees keys ``k_pos <= p``, and every position is
+        (re)written by the step that first exposes it, so stale pad entries
+        beyond a slot's cursor are never attended.
+        """
+        cl = self.cache_len
+        assert cl >= s > 0, (cl, s)
+        h = self.n_heads
+        if self.kv_bits is not None:
+            ck = self.variable("cache", "k_codes", jnp.zeros, (b, cl, h, hd), jnp.int8)
+            cks = self.variable("cache", "k_scale", jnp.zeros, (b, cl, h), jnp.float32)
+            cv = self.variable("cache", "v_codes", jnp.zeros, (b, cl, h, hd), jnp.int8)
+            cvs = self.variable("cache", "v_scale", jnp.zeros, (b, cl, h), jnp.float32)
+        else:
+            ck = self.variable("cache", "k_raw", jnp.zeros, (b, cl, h, hd), k.dtype)
+            cv = self.variable("cache", "v_raw", jnp.zeros, (b, cl, h, hd), v.dtype)
+        cursor = self.variable(
+            "cache", "index", jnp.zeros, (b,), jnp.int32
+        )
+        offset = cursor.value  # (b,)
+        rows = jnp.arange(b)[:, None]
+        cols = offset[:, None] + jnp.arange(s)[None, :]  # (b, s)
+        if self.kv_bits is not None:
+            k_codes, k_scale = ops.quantize_kv(k, self.kv_bits)
+            v_codes, v_scale = ops.quantize_kv(v, self.kv_bits)
+            ck.value = ck.value.at[rows, cols].set(k_codes)
+            cks.value = cks.value.at[rows, cols].set(k_scale)
+            cv.value = cv.value.at[rows, cols].set(v_codes)
+            cvs.value = cvs.value.at[rows, cols].set(v_scale)
+            k_full = ops.dequantize_kv(ck.value, cks.value, k.dtype)
+            v_full = ops.dequantize_kv(cv.value, cvs.value, v.dtype)
+        else:
+            ck.value = ck.value.at[rows, cols].set(k)
+            cv.value = cv.value.at[rows, cols].set(v)
+            k_full, v_full = ck.value, cv.value
+        cursor.value = offset + s
+
+        q_pos = cols  # (b, s) absolute positions of this call's queries
+        k_pos = jnp.arange(cl)
+        mask = k_pos[None, None, :] <= q_pos[..., None]  # (b, s, cl)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_full).astype(jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(hd))
+        scores = jnp.where(mask[:, None], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", attn, v_full)
+
 
 class QuantTransformerBlock(nn.Module):
     """Pre-LN block: LN -> quantized attention -> residual; LN -> quantized
@@ -120,6 +189,9 @@ class QuantTransformerBlock(nn.Module):
     causal: bool = True
     dtype: Optional[Any] = None
     attention_fn: Optional[Any] = None
+    decode: bool = False
+    cache_len: int = 0
+    kv_bits: Optional[int] = 8
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -133,6 +205,9 @@ class QuantTransformerBlock(nn.Module):
             causal=self.causal,
             dtype=self.dtype,
             attention_fn=self.attention_fn,
+            decode=self.decode,
+            cache_len=self.cache_len,
+            kv_bits=self.kv_bits,
             name="attn",
         )(h, train=train)
 
@@ -184,6 +259,8 @@ class QuantTransformerLM(nn.Module):
     capacity_factor: float = 2.0
     dtype: Optional[Any] = None
     attention_fn: Optional[Any] = None
+    decode: bool = False
+    kv_bits: Optional[int] = 8
 
     @nn.compact
     def __call__(self, tokens, train: bool = True):
@@ -196,7 +273,20 @@ class QuantTransformerLM(nn.Module):
             (self.max_len, self.d_model),
             jnp.float32,
         )
-        x = (x + pos[None, :s]).astype(self.dtype or x.dtype)
+        if self.decode:
+            # per-slot position cursor mirrors the per-layer cache cursors
+            pcur = self.variable(
+                "cache", "pos_index", jnp.zeros, (b,), jnp.int32
+            )
+            offset = pcur.value  # (b,)
+            pcur.value = offset + s
+            idx = jnp.clip(
+                offset[:, None] + jnp.arange(s)[None, :], 0, self.max_len - 1
+            )
+            x = x + pos[idx]
+        else:
+            x = x + pos[None, :s]
+        x = x.astype(self.dtype or x.dtype)
         for i in range(self.n_layers):
             x = QuantTransformerBlock(
                 n_heads=self.n_heads,
@@ -208,6 +298,9 @@ class QuantTransformerLM(nn.Module):
                 capacity_factor=self.capacity_factor,
                 dtype=self.dtype,
                 attention_fn=self.attention_fn,
+                decode=self.decode,
+                cache_len=self.max_len,
+                kv_bits=self.kv_bits,
                 name=f"block{i}",
             )(x, train=train)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)

@@ -54,3 +54,7 @@ from pytorch_quantize_impls_tpu.ops.registry import (  # noqa: F401
     get_quantizer,
 )
 from pytorch_quantize_impls_tpu.ops import pack  # noqa: F401
+from pytorch_quantize_impls_tpu.ops.kv_cache import (  # noqa: F401
+    dequantize_kv,
+    quantize_kv,
+)

@@ -6,3 +6,12 @@ from pytorch_quantize_impls_tpu.serve.engine import (  # noqa: F401
     EngineStats,
     InferenceEngine,
 )
+from pytorch_quantize_impls_tpu.serve.generate import (  # noqa: F401
+    decode_model,
+    generate,
+    prefill,
+)
+from pytorch_quantize_impls_tpu.serve.decode_engine import (  # noqa: F401
+    DecodeEngine,
+    DecodeStats,
+)

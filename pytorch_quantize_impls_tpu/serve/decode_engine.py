@@ -1,0 +1,262 @@
+"""Slot-based continuous batching for autoregressive decode — NEW scope
+(SURVEY.md §2 parallelism table mandates a continuous-batching service; the
+reference has no serving at all). ``engine.py`` batches stateless classifier
+requests; this engine batches STATEFUL decode: each request owns a slot in
+one batched int8-quantized KV cache (models/transformer.py decode mode), and
+every engine tick runs ONE jitted single-token step over all slots — new
+requests join mid-flight via a batch=1 prefill inserted into their slot, so
+short requests never wait for long ones (continuous batching, vLLM-style
+scheduling without paging: slots are fixed-capacity cache rows).
+
+TPU shape discipline: prompts are padded to power-of-two buckets so prefill
+compiles once per bucket; the decode step has one static shape. Per-slot
+cache cursors make right-padded prefill safe (see ``_cached_attention``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_quantize_impls_tpu.serve.generate import _MUT, _sample
+
+
+def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _is_cursor(path) -> bool:
+    last = path[-1]
+    return isinstance(last, jax.tree_util.DictKey) and "index" in str(last.key)
+
+
+@dataclass
+class DecodeStats:
+    requests: int = 0
+    steps: int = 0
+    tokens: int = 0
+    slot_occupancy: float = 0.0  # summed active fraction over steps
+
+    @property
+    def mean_occupancy(self) -> float:
+        return self.slot_occupancy / self.steps if self.steps else 0.0
+
+
+@dataclass
+class _Slot:
+    request: "_GenRequest"
+    generated: list = field(default_factory=list)
+    last_token: int = 0
+
+
+@dataclass
+class _GenRequest:
+    prompt: np.ndarray
+    max_new: int
+    eos: Optional[int]
+    future: Future
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+class DecodeEngine:
+    """Continuous-batching generation server over a quantized-KV cache.
+
+    ``model`` is a train-mode ``QuantTransformerLM`` (its decode twin is
+    derived here); ``params`` its trained/init params. ``n_slots`` bounds
+    concurrent sequences; each slot's cache row holds ``model.max_len``
+    int8-quantized KV entries per layer.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        n_slots: int = 8,
+        prompt_buckets: Sequence[int] = (16, 32, 64, 128),
+        temperature: float = 0.0,
+        seed: int = 0,
+    ):
+        self._md = model.clone(decode=True)
+        self._params = params
+        self._n_slots = n_slots
+        self._max_len = model.max_len
+        self._buckets = sorted(b for b in prompt_buckets if b <= self._max_len)
+        if not self._buckets:
+            raise ValueError("no prompt bucket fits the model's max_len")
+        self._temperature = temperature
+        self._key = jax.random.PRNGKey(seed)
+
+        md = self._md
+
+        @jax.jit
+        def _prefill(params, toks):
+            logits, st = md.apply(
+                {"params": params}, toks, train=False, mutable=_MUT
+            )
+            return logits[0], st["cache"]
+
+        @jax.jit
+        def _step(params, cache, toks, key):
+            logits, st = md.apply(
+                {"params": params, "cache": cache},
+                toks[:, None],
+                train=False,
+                mutable=_MUT,
+            )
+            nxt = _sample(logits[:, 0], temperature, key)
+            return nxt, st["cache"]
+
+        self._prefill = _prefill
+        self._step = _step
+        self._cache = self._fresh_cache()
+        self._slots: list = [None] * n_slots
+        self._queue: "queue.Queue[Optional[_GenRequest]]" = queue.Queue()
+        self.stats = DecodeStats()
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(self, prompt, max_new: int, eos: Optional[int] = None) -> Future:
+        """Enqueue a prompt (1-D int tokens); Future resolves to the 1-D
+        int32 array of generated tokens (stops early at ``eos``, included)."""
+        prompt = np.asarray(prompt, np.int32)
+        if prompt.ndim != 1 or prompt.size == 0:
+            raise ValueError("prompt must be a non-empty 1-D token array")
+        if prompt.size + max_new > self._max_len:
+            raise ValueError(
+                f"prompt ({prompt.size}) + max_new ({max_new}) exceeds the "
+                f"cache capacity ({self._max_len})"
+            )
+        req = _GenRequest(prompt=prompt, max_new=max_new, eos=eos, future=Future())
+        self._queue.put(req)
+        return req.future
+
+    def __call__(self, prompt, max_new: int, eos: Optional[int] = None):
+        return self.submit(prompt, max_new, eos).result()
+
+    def shutdown(self) -> None:
+        self._running = False
+        self._queue.put(None)
+        self._thread.join(timeout=30)
+
+    # -- internals ----------------------------------------------------------
+
+    def _fresh_cache(self):
+        """Batched (n_slots) cache pytree, all cursors at 0."""
+        dummy = jnp.zeros((self._n_slots, 1), jnp.int32)
+        _, st = self._md.apply(
+            {"params": self._params}, dummy, train=False, mutable=_MUT
+        )
+
+        def reset(path, leaf):
+            return jnp.zeros_like(leaf) if _is_cursor(path) else leaf
+
+        return jax.tree_util.tree_map_with_path(reset, st["cache"])
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _admit(self, req: _GenRequest, slot_idx: int) -> None:
+        """Batch=1 bucketed prefill, insert into the batched cache row."""
+        L = int(req.prompt.size)
+        bucket = _next_bucket(L, self._buckets)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :L] = req.prompt
+        logits, cache1 = self._prefill(self._params, jnp.asarray(toks))
+        first = int(
+            _sample(logits[L - 1][None], self._temperature, self._next_key())[0]
+        )
+
+        i = slot_idx
+
+        def insert(path, bleaf, sleaf):
+            if _is_cursor(path):
+                return bleaf.at[i].set(L)  # true length, not the bucket
+            return bleaf.at[i].set(sleaf[0])
+
+        self._cache = jax.tree_util.tree_map_with_path(
+            insert, self._cache, cache1
+        )
+        slot = _Slot(request=req, last_token=first)
+        self._slots[i] = slot
+        self._emit(slot, first)
+
+    def _emit(self, slot: _Slot, token: int) -> None:
+        slot.generated.append(token)
+        req = slot.request
+        done = len(slot.generated) >= req.max_new or (
+            req.eos is not None and token == req.eos
+        )
+        if done:
+            req.future.set_result(np.asarray(slot.generated, np.int32))
+            self._slots[self._slots.index(slot)] = None
+            with self._lock_stats():
+                self.stats.requests += 1
+                self.stats.tokens += len(slot.generated)
+
+    _stats_lock = threading.Lock()
+
+    def _lock_stats(self):
+        return self._stats_lock
+
+    def _loop(self) -> None:
+        while self._running:
+            # admit whatever is waiting into free slots
+            while None in self._slots:
+                block = all(s is None for s in self._slots)
+                try:
+                    req = self._queue.get(block=block, timeout=0.1 if block else None)
+                except queue.Empty:
+                    break
+                if req is None:
+                    self._running = False
+                    break
+                try:
+                    self._admit(req, self._slots.index(None))
+                except Exception as e:  # deliver failures, keep serving
+                    req.future.set_exception(e)
+            active = [s for s in self._slots if s is not None]
+            if not active or not self._running:
+                continue
+            toks = jnp.asarray(
+                [s.last_token if s is not None else 0 for s in self._slots],
+                jnp.int32,
+            )
+            nxt, self._cache = self._step(
+                self._params, self._cache, toks, self._next_key()
+            )
+            nxt = np.asarray(nxt)
+            with self._lock_stats():
+                self.stats.steps += 1
+                self.stats.slot_occupancy += len(active) / self._n_slots
+            for i, s in enumerate(list(self._slots)):
+                if s is not None:
+                    s.last_token = int(nxt[i])
+                    self._emit(s, int(nxt[i]))
+        # drain: fail anything still queued or in flight
+        for s in self._slots:
+            if s is not None and not s.request.future.done():
+                s.request.future.set_exception(RuntimeError("engine shutdown"))
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("engine shutdown"))

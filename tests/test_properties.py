@@ -79,10 +79,20 @@ def test_binary_stoch_support_and_mean(x):
 @settings(max_examples=10, deadline=None)
 @given(x=ARRS)
 def test_ste_gradient_bounded(x):
-    """All STE backward passes pass bounded gradients (no blowup)."""
+    """All STE backward passes pass bounded gradients (no blowup).
+
+    DoReFa's weight transform normalizes by max|tanh(W)|, so its gradient
+    legitimately scales like 1/max|tanh(x)| when all weights are tiny
+    (the paper's transform; finite for any nonzero input) — bound it
+    relative to that factor instead of an absolute constant.
+    """
     for name, q in QUANTIZERS.items():
         g = np.asarray(
             jax.grad(lambda t: jnp.sum(q(t)))(jnp.asarray(x))
         )
         assert np.all(np.isfinite(g)), name
-        assert np.max(np.abs(g)) <= 16.0 + 1e-5, (name, g)
+        bound = 16.0
+        if name == "dorefa_w4":
+            m = float(np.max(np.abs(np.tanh(x))))
+            bound = 16.0 if m == 0.0 else max(16.0, 2.0 / m)
+        assert np.max(np.abs(g)) <= bound + 1e-4, (name, g)
