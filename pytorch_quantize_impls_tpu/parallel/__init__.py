@@ -28,6 +28,10 @@ from pytorch_quantize_impls_tpu.parallel.ring_attention import (  # noqa: F401
     make_ring_attention,
     ring_attention_shard,
 )
+from pytorch_quantize_impls_tpu.parallel.ulysses import (  # noqa: F401
+    make_ulysses_attention,
+    ulysses_attention_shard,
+)
 from pytorch_quantize_impls_tpu.parallel.quantized_collectives import (  # noqa: F401
     comm_bytes_saved,
     make_quantized_dp_train_step,
