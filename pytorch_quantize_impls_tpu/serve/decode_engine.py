@@ -77,6 +77,12 @@ class DecodeEngine:
     derived here); ``params`` its trained/init params. ``n_slots`` bounds
     concurrent sequences; each slot's cache row holds ``model.max_len``
     int8-quantized KV entries per layer.
+
+    ``packed`` (optional): a ``infer.pack_model(model, ...)`` record — every
+    quantized projection then dispatches to its packed-weight execution path
+    (weights stay 1-8 bit in HBM; SURVEY.md §3.5 seam applied to decode).
+    Pack with the TRAIN-mode model: module paths are identical in the decode
+    twin, so the records line up.
     """
 
     def __init__(
@@ -84,6 +90,7 @@ class DecodeEngine:
         model,
         params,
         *,
+        packed=None,
         n_slots: int = 8,
         prompt_buckets: Sequence[int] = (16, 32, 64, 128),
         temperature: float = 0.0,
@@ -98,24 +105,25 @@ class DecodeEngine:
             raise ValueError("no prompt bucket fits the model's max_len")
         self._temperature = temperature
         self._key = jax.random.PRNGKey(seed)
+        self._packed = packed
 
         md = self._md
 
+        def _apply(variables, toks):
+            if packed is None:
+                return md.apply(variables, toks, train=False, mutable=_MUT)
+            from pytorch_quantize_impls_tpu.infer.packed import packed_apply
+
+            return packed_apply(md, variables, packed, toks, mutable=_MUT)
+
         @jax.jit
         def _prefill(params, toks):
-            logits, st = md.apply(
-                {"params": params}, toks, train=False, mutable=_MUT
-            )
+            logits, st = _apply({"params": params}, toks)
             return logits[0], st["cache"]
 
         @jax.jit
         def _step(params, cache, toks, key):
-            logits, st = md.apply(
-                {"params": params, "cache": cache},
-                toks[:, None],
-                train=False,
-                mutable=_MUT,
-            )
+            logits, st = _apply({"params": params, "cache": cache}, toks[:, None])
             nxt = _sample(logits[:, 0], temperature, key)
             return nxt, st["cache"]
 

@@ -78,6 +78,38 @@ def test_eos_early_stop(model_and_params):
     np.testing.assert_array_equal(got, full[:1])
 
 
+@pytest.mark.parametrize("scheme,w_bits", [("binary", 1), ("dorefa", 4)])
+def test_packed_engine_matches_fake_quant(scheme, w_bits):
+    """Serving with packed weights (infer.pack_model records intercepted in
+    the decode twin) must produce the same greedy tokens as the fake-quant
+    path — the SURVEY §3.5 train/infer seam, applied to decode."""
+    from pytorch_quantize_impls_tpu import infer
+
+    m = QuantTransformerLM(
+        vocab=VOCAB, d_model=32, n_heads=2, n_layers=2, d_ff=64, max_len=32,
+        scheme=scheme, w_bits=w_bits,
+    )
+    x = np.zeros((1, 4), np.int32)
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    params = v["params"]
+    packed = infer.pack_model(m, v, jax.numpy.asarray(x))
+    assert len(packed) == 2 * 4 + 2 * 2  # 4 attn + 2 ffn projections / layer
+
+    prompts = _prompts(seed=5, lens=(4, 8, 6))
+    ref_eng = serve.DecodeEngine(m, params, n_slots=2)
+    try:
+        ref = [ref_eng(p, max_new=4) for p in prompts]
+    finally:
+        ref_eng.shutdown()
+    pk_eng = serve.DecodeEngine(m, params, packed=packed, n_slots=2)
+    try:
+        got = [pk_eng(p, max_new=4) for p in prompts]
+    finally:
+        pk_eng.shutdown()
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_submit_validation(model_and_params):
     m, params = model_and_params
     eng = serve.DecodeEngine(m, params, n_slots=2)
