@@ -163,6 +163,15 @@ def prepare(packed: PackedModel) -> PackedModel:
 
 
 def _dense_forward(m: QuantDense, rec: PackedLayer, x, bias):
+    # packed GEMM kernels take (M, K); fold any leading batch/sequence dims
+    lead = x.shape[:-1]
+    if x.ndim > 2:
+        x = x.reshape(-1, x.shape[-1])
+    y = _dense_forward_2d(m, rec, x, bias)
+    return y.reshape(*lead, y.shape[-1]) if len(lead) != 1 else y
+
+
+def _dense_forward_2d(m: QuantDense, rec: PackedLayer, x, bias):
     if rec.scheme in ("binary", "xnor") and rec.a_bits == 1:
         xi = jnp.where(x >= 0, 1, -1).astype(jnp.int8)
         if rec.decoded is not None:

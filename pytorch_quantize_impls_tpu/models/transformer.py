@@ -28,6 +28,19 @@ from pytorch_quantize_impls_tpu.nn.moe import QuantMoE
 from pytorch_quantize_impls_tpu import ops
 
 
+def _act_quant(scheme: str, a_bits: int):
+    """Post-ReLU activation quantizer (reference practice: activation quant
+    sits after the nonlinearity — SURVEY.md §2-L0 DoReFa row). Only schemes
+    with a natural unsigned/sign activation grid qualify."""
+    if a_bits <= 0:
+        return None
+    if scheme == "dorefa":
+        return ops.get_quantizer("dorefa_activation", bits=a_bits)
+    if scheme in ("binary", "xnor"):
+        return ops.binary_tanh
+    raise ValueError(f"a_bits unsupported for scheme {scheme!r}")
+
+
 def _weight_quant(scheme: str, w_bits: int, fsr: float):
     if scheme == "none":
         return None
@@ -183,6 +196,7 @@ class QuantTransformerBlock(nn.Module):
     d_ff: int
     scheme: str = "binary"
     w_bits: int = 1
+    a_bits: int = 0  # >0: quantize the post-ReLU FFN activation (W-k/A-k)
     fsr: float = 0.0
     n_experts: int = 0
     capacity_factor: float = 2.0
@@ -231,9 +245,14 @@ class QuantTransformerBlock(nn.Module):
                 name="ffn_in",
             )(h, train=train)
             ff = jax.nn.relu(ff)
+            # a_bits > 0: quantize the post-ReLU activation so ffn_out runs
+            # W-k/A-k — at serving time infer.packed_apply dispatches it to
+            # the exact integer-code GEMM (kernels/packed_matmul.py).
             ff = QuantDense(
                 features=d, weight_quant=wq, dtype=self.dtype,
+                input_quant=_act_quant(self.scheme, self.a_bits),
                 scheme=self.scheme, w_bits=self.w_bits, fsr=self.fsr,
+                a_bits=self.a_bits,
                 name="ffn_out",
             )(ff, train=train)
         return x + ff
@@ -254,6 +273,7 @@ class QuantTransformerLM(nn.Module):
     max_len: int = 256
     scheme: str = "binary"
     w_bits: int = 1
+    a_bits: int = 0  # >0: FFN W-k/A-k (post-ReLU activation quant)
     fsr: float = 0.0
     n_experts: int = 0
     capacity_factor: float = 2.0
@@ -293,6 +313,7 @@ class QuantTransformerLM(nn.Module):
                 d_ff=self.d_ff,
                 scheme=self.scheme,
                 w_bits=self.w_bits,
+                a_bits=self.a_bits,
                 fsr=self.fsr,
                 n_experts=self.n_experts,
                 capacity_factor=self.capacity_factor,

@@ -78,8 +78,11 @@ def test_eos_early_stop(model_and_params):
     np.testing.assert_array_equal(got, full[:1])
 
 
-@pytest.mark.parametrize("scheme,w_bits", [("binary", 1), ("dorefa", 4)])
-def test_packed_engine_matches_fake_quant(scheme, w_bits):
+@pytest.mark.parametrize(
+    "scheme,w_bits,a_bits",
+    [("binary", 1, 0), ("dorefa", 4, 0), ("dorefa", 4, 4)],
+)
+def test_packed_engine_matches_fake_quant(scheme, w_bits, a_bits):
     """Serving with packed weights (infer.pack_model records intercepted in
     the decode twin) must produce the same greedy tokens as the fake-quant
     path — the SURVEY §3.5 train/infer seam, applied to decode."""
@@ -87,7 +90,7 @@ def test_packed_engine_matches_fake_quant(scheme, w_bits):
 
     m = QuantTransformerLM(
         vocab=VOCAB, d_model=32, n_heads=2, n_layers=2, d_ff=64, max_len=32,
-        scheme=scheme, w_bits=w_bits,
+        scheme=scheme, w_bits=w_bits, a_bits=a_bits,
     )
     x = np.zeros((1, 4), np.int32)
     v = m.init({"params": jax.random.PRNGKey(1)}, x, train=False)
