@@ -164,6 +164,8 @@ def prepare(packed: PackedModel) -> PackedModel:
 
 def _dense_forward(m: QuantDense, rec: PackedLayer, x, bias):
     # packed GEMM kernels take (M, K); fold any leading batch/sequence dims
+    if x.ndim == 1:
+        return _dense_forward_2d(m, rec, x[None], bias)[0]
     lead = x.shape[:-1]
     if x.ndim > 2:
         x = x.reshape(-1, x.shape[-1])

@@ -30,11 +30,17 @@ import jax.numpy as jnp
 from pytorch_quantize_impls_tpu.serve.generate import _MUT, _sample
 
 
-def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+def _next_bucket(n: int, buckets: Sequence[int], max_len: int) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # Prompt longer than every configured bucket but within the cache: pad to
+    # the next power of two (capped at max_len) so prefill still compiles a
+    # bounded number of shapes instead of failing with a broadcast error.
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_len)
 
 
 def _is_cursor(path) -> bool:
@@ -130,6 +136,7 @@ class DecodeEngine:
         self._prefill = _prefill
         self._step = _step
         self._cache = self._fresh_cache()
+        self._stats_lock = threading.Lock()  # per-instance, not shared
         self._slots: list = [None] * n_slots
         self._queue: "queue.Queue[Optional[_GenRequest]]" = queue.Queue()
         self.stats = DecodeStats()
@@ -183,7 +190,7 @@ class DecodeEngine:
     def _admit(self, req: _GenRequest, slot_idx: int) -> None:
         """Batch=1 bucketed prefill, insert into the batched cache row."""
         L = int(req.prompt.size)
-        bucket = _next_bucket(L, self._buckets)
+        bucket = _next_bucket(L, self._buckets, self._max_len)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :L] = req.prompt
         logits, cache1 = self._prefill(self._params, jnp.asarray(toks))
@@ -217,8 +224,6 @@ class DecodeEngine:
             with self._lock_stats():
                 self.stats.requests += 1
                 self.stats.tokens += len(slot.generated)
-
-    _stats_lock = threading.Lock()
 
     def _lock_stats(self):
         return self._stats_lock

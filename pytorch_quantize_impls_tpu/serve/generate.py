@@ -40,6 +40,11 @@ def prefill(model, params, prompt: Array) -> Tuple[Array, dict]:
     filled for positions ``[0, prompt_len)``. ``model`` must already have
     ``decode=True`` (see :func:`decode_model`).
     """
+    if prompt.shape[1] > model.max_len:
+        raise ValueError(
+            f"prompt length {prompt.shape[1]} exceeds cache capacity "
+            f"max_len ({model.max_len})"
+        )
     logits, st = model.apply(
         {"params": params}, prompt, train=False, mutable=_MUT
     )
@@ -67,6 +72,14 @@ def generate(
     ``model`` is the TRAIN-mode module; its decode twin is derived here.
     Returns ``(batch, n_new)`` int32 tokens.
     """
+    # Shape guard (trace-time: prompt shape and n_new are static). Past
+    # capacity the cache scatter would silently drop writes under jit and
+    # return wrong tokens, so fail loudly instead.
+    if prompt.shape[1] + n_new > model.max_len:
+        raise ValueError(
+            f"prompt ({prompt.shape[1]}) + n_new ({n_new}) exceeds the "
+            f"model's cache capacity max_len ({model.max_len})"
+        )
     md = decode_model(model)
     if key is None:
         key = jax.random.PRNGKey(0)
