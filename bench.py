@@ -81,12 +81,14 @@ def _calibrate_roundtrip() -> float:
     return min(ts)
 
 
-def _bench(fn, *args, roundtrip: float = 0.0) -> float:
-    """Seconds per iteration (device time), differential: (T(2N)-T(N))/N.
+def _bench_samples(fn, *args, repeats: int = 5) -> list:
+    """Per-repeat seconds/iteration (device time), differential:
+    (T(2N)-T(N))/N.
 
     The relay adds a large noisy constant per synchronization; it cancels
-    in the difference (separately-calibrated subtraction does not work)."""
-    del roundtrip
+    in the difference (separately-calibrated subtraction does not work).
+    Returns ``repeats`` independent estimates so callers can report median
+    AND spread (VERDICT r2 #6: a single estimate hid a 5% run-to-run drift)."""
     _force(fn(*args))  # compile + settle
 
     def run(n: int) -> float:
@@ -97,9 +99,20 @@ def _bench(fn, *args, roundtrip: float = 0.0) -> float:
         _force(o)
         return time.perf_counter() - t0
 
-    t_n = min(run(ITERS) for _ in range(3))
-    t_2n = min(run(2 * ITERS) for _ in range(3))
-    return max((t_2n - t_n) / ITERS, 1e-9)
+    ests = []
+    for _ in range(repeats):
+        t_n = run(ITERS)
+        t_2n = run(2 * ITERS)
+        ests.append(max((t_2n - t_n) / ITERS, 1e-9))
+    return ests
+
+
+def _bench(fn, *args, roundtrip: float = 0.0):
+    """Median seconds/iteration + relative spread ((max-min)/median)."""
+    del roundtrip
+    ests = sorted(_bench_samples(fn, *args))
+    med = ests[len(ests) // 2]
+    return med, (ests[-1] - ests[0]) / med
 
 
 def main() -> None:
@@ -121,61 +134,73 @@ def main() -> None:
     f32 = jax.jit(
         lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
     )
-    t_f32 = _bench(f32, x, w, roundtrip=rt)
-    print(f"# fp32 HIGHEST: {t_f32*1e3:.3f} ms  {FLOPS/t_f32/1e12:.1f} TFLOP/s",
-          file=sys.stderr)
-    # Secondary baseline: XLA default f32 (bf16 passes on TPU).
+    t_f32, s_f32 = _bench(f32, x, w)
+    print(f"# fp32 HIGHEST: {t_f32*1e3:.3f} ms  {FLOPS/t_f32/1e12:.1f} TFLOP/s "
+          f"(±{s_f32*100:.0f}%)", file=sys.stderr)
+    # Secondary baseline: XLA default f32 (bf16 passes on TPU). This is the
+    # measured bf16 "speed of light" the decoded/shift paths roofline against.
     f32d = jax.jit(lambda a, b: jnp.dot(a, b))
-    t_f32d = _bench(f32d, x, w, roundtrip=rt)
-    print(f"# fp32 default: {t_f32d*1e3:.3f} ms  {FLOPS/t_f32d/1e12:.1f} TFLOP/s",
-          file=sys.stderr)
+    t_bf16, s_bf16 = _bench(f32d, x, w)
+    print(f"# bf16 peak (f32 default): {t_bf16*1e3:.3f} ms  "
+          f"{FLOPS/t_bf16/1e12:.1f} TFLOP/s (±{s_bf16*100:.0f}%)", file=sys.stderr)
+    # Measured int8 MXU peak: plain int8 matmul, int32 accumulate — the
+    # speed-of-light for every integer-code quantized GEMM below
+    # (SURVEY.md §5 profiling row: per-kernel roofline, not just x-vs-fp32).
+    i8 = jax.jit(
+        lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    )
+    xi8 = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
+    wi8 = jnp.asarray(rng.integers(-127, 127, (K, N)), jnp.int8)
+    t_i8, s_i8 = _bench(i8, xi8, wi8)
+    print(f"# int8 peak: {t_i8*1e3:.3f} ms  {FLOPS/t_i8/1e12:.1f} TOP/s "
+          f"(±{s_i8*100:.0f}%)", file=sys.stderr)
+
+    def report(label, t, spread, peak_t, peak_name):
+        print(
+            f"# {label} {t*1e3:.3f} ms  {FLOPS/t/1e12:.1f} T/s "
+            f"({t_f32/t:.1f}x fp32, {peak_t/t*100:.0f}% of {peak_name} peak, "
+            f"±{spread*100:.0f}%)",
+            file=sys.stderr,
+        )
 
     # 1-bit fused packed-resident GEMM (headline: weights stay 1-bit in HBM,
     # 32x memory saving, unpack fused in VMEM, int8 MXU compute).
     xi = bgm.binarize_to_int8(x)
     wp = bgm.pack_binary_weights(w)
     alpha = jnp.abs(w).mean(0)
-    t_bin = _bench(lambda a, b, al: bgm.binary_gemm(a, b, al), xi, wp, alpha,
-                   roundtrip=rt)
-    print(f"# binary fused:   {t_bin*1e3:.3f} ms  {FLOPS/t_bin/1e12:.1f} T/s "
-          f"({t_f32/t_bin:.1f}x fp32)", file=sys.stderr)
+    t_bin, s_bin = _bench(lambda a, b, al: bgm.binary_gemm(a, b, al), xi, wp, alpha)
+    report("binary fused:  ", t_bin, s_bin, t_i8, "int8")
 
     # weight-stationary-unpack variant (packed-resident, single unpack/tile).
-    t_ws = _bench(lambda a, b, al: bgm.binary_gemm_ws(a, b, al), xi, wp, alpha,
-                  roundtrip=rt)
-    print(f"# binary ws:      {t_ws*1e3:.3f} ms  {FLOPS/t_ws/1e12:.1f} T/s "
-          f"({t_f32/t_ws:.1f}x fp32)", file=sys.stderr)
+    t_ws, s_ws = _bench(lambda a, b, al: bgm.binary_gemm_ws(a, b, al), xi, wp, alpha)
+    report("binary ws:     ", t_ws, s_ws, t_i8, "int8")
 
     # decoded int8 serving mode (one-time decode, 4x memory saving).
     w8 = bgm.decode_binary_weights(wp)
-    t_dec = _bench(
-        lambda a, b, al: bgm.binary_gemm_decoded(a, b, al), xi, w8, alpha,
-        roundtrip=rt,
-    )
-    print(f"# binary decoded: {t_dec*1e3:.3f} ms  {FLOPS/t_dec/1e12:.1f} T/s "
-          f"({t_f32/t_dec:.1f}x fp32)", file=sys.stderr)
-    t_bin = min(t_bin, t_ws)  # headline: best packed-resident path
+    t_dec, s_dec = _bench(lambda a, b, al: bgm.binary_gemm_decoded(a, b, al),
+                          xi, w8, alpha)
+    report("binary decoded:", t_dec, s_dec, t_i8, "int8")
+    if t_ws < t_bin:  # headline: best packed-resident path
+        t_bin, s_bin = t_ws, s_ws
 
     # 4-bit DoReFa packed GEMM.
     wq = ops.dorefa_weight(w, 4)
     aq = ops.dorefa_activation(jnp.abs(x), 4)
     codes = pmm.dorefa_act_to_int8(aq, 4)
     wp4 = pmm.pack_dorefa_weights(wq, 4)
-    t_d4 = _bench(
-        lambda a, b: pmm.dorefa_gemm(a, b, w_bits=4, a_bits=4), codes, wp4,
-        roundtrip=rt,
-    )
-    print(f"# dorefa4 packed: {t_d4*1e3:.3f} ms  {FLOPS/t_d4/1e12:.1f} T/s "
-          f"({t_f32/t_d4:.1f}x fp32)", file=sys.stderr)
+    t_d4, s_d4 = _bench(lambda a, b: pmm.dorefa_gemm(a, b, w_bits=4, a_bits=4),
+                        codes, wp4)
+    report("dorefa4 packed:", t_d4, s_d4, t_i8, "int8")
 
-    # log-quant shift GEMM.
+    # log-quant shift GEMM (bf16 bit-pattern assembly -> bf16 MXU: its
+    # speed-of-light is the bf16 peak, not int8).
     wpl = smm.pack_log_weights(w, 1.0, 4)
-    t_log = _bench(
-        lambda a, b: smm.shift_gemm(a, b, fsr=1.0, bits=4), x, wpl,
-        roundtrip=rt,
-    )
-    print(f"# log shift:      {t_log*1e3:.3f} ms  {FLOPS/t_log/1e12:.1f} T/s "
-          f"({t_f32/t_log:.1f}x fp32)", file=sys.stderr)
+    t_log, s_log = _bench(lambda a, b: smm.shift_gemm(a, b, fsr=1.0, bits=4),
+                          x, wpl)
+    report("log shift:     ", t_log, s_log, t_bf16, "bf16")
 
     value = FLOPS / t_bin / 1e12
     name = "binary_gemm_tflops_equiv_per_chip_4096"
@@ -188,6 +213,8 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "TFLOP-equiv/s",
                 "vs_baseline": round(t_f32 / t_bin, 2),
+                "spread_pct": round(s_bin * 100, 1),
+                "pct_of_int8_peak": round(t_i8 / t_bin * 100, 1),
             }
         )
     )

@@ -141,16 +141,30 @@ def digits(flatten: bool = False, *, test_frac: float = 0.2) -> Tuple[Batch, Bat
 
 
 def iterate_batches(
-    data: Batch, batch_size: int, *, seed: int = 0, epochs: Optional[int] = None
+    data: Batch,
+    batch_size: int,
+    *,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    start_step: int = 0,
 ) -> Iterator[Batch]:
     """Shuffled batch iterator (drops the ragged tail batch for static shapes
-    — XLA-friendly; the reference's DataLoader pads instead)."""
+    — XLA-friendly; the reference's DataLoader pads instead).
+
+    ``start_step`` fast-forwards the deterministic stream: a run resumed from
+    a step-``k`` checkpoint passes ``start_step=k`` and consumes exactly the
+    batches the unkilled run would have seen — the data half of
+    resume-determinism (the RNG half lives in the checkpointed train state).
+    """
     x, y = data
     n = len(x) // batch_size * batch_size
-    epoch = 0
+    steps_per_epoch = max(n // batch_size, 1)
+    epoch = start_step // steps_per_epoch
+    skip = start_step - epoch * steps_per_epoch
     while epochs is None or epoch < epochs:
         perm = np.random.default_rng(seed + epoch).permutation(len(x))[:n]
-        for i in range(0, n, batch_size):
+        for i in range(skip * batch_size, n, batch_size):
             idx = perm[i : i + batch_size]
             yield x[idx], y[idx]
+        skip = 0
         epoch += 1

@@ -16,7 +16,10 @@ from pytorch_quantize_impls_tpu.parallel.mesh import (  # noqa: F401
 )
 from pytorch_quantize_impls_tpu.parallel.pipeline import (  # noqa: F401
     PIPE_AXIS,
+    flax_stage_fn,
+    init_flax_stages,
     init_pipeline_mlp,
+    make_flax_pipeline_lm,
     make_pipe_mesh,
     make_pipeline_train_step,
     make_pipeline_value_and_grad,

@@ -222,6 +222,130 @@ def make_pipeline_value_and_grad(
     )
 
 
+# --- flax-module stages (VERDICT r2 #7: PP must compose with the model zoo)
+
+
+def flax_stage_fn(module, **apply_kwargs) -> StageFn:
+    """Adapt a flax module into a pipeline stage body.
+
+    All stages run the SAME module (SPMD: one traced program per tick), so
+    ``module`` is one block config — e.g. a ``QuantTransformerBlock`` — and
+    per-stage weights live in the stage-stacked params. Modules with mutable
+    collections (MoE aux losses, batch stats) are not supported as stages.
+    """
+
+    def fn(params, h):
+        return module.apply({"params": params}, h, **apply_kwargs)
+
+    return fn
+
+
+def init_flax_stages(key, module, sample_h, n_stages: int, **apply_kwargs):
+    """Init ``n_stages`` independent weight sets of ``module`` and stack them
+    into the pipeline's stage-stacked pytree (leading axis = stage)."""
+    keys = jax.random.split(key, n_stages)
+    ps = [
+        module.init({"params": k}, sample_h, **apply_kwargs)["params"]
+        for k in keys
+    ]
+    return stack_stage_params(ps)
+
+
+def make_flax_pipeline_lm(
+    mesh: Mesh,
+    *,
+    block,
+    embed,
+    head,
+    n_stages: int,
+    n_micro: int,
+    optimizer=None,
+):
+    """GPipe schedule over flax transformer blocks: a full causal-LM train
+    step with ``embed -> [n_stages x block] -> head`` where the blocks are
+    pipe-sharded flax modules (e.g. ``models.QuantTransformerBlock``) and
+    embed/head are replicated flax modules.
+
+    Returns ``(step_fn, place, init_params, init_opt, value_and_grad)``:
+
+    * ``init_params(key, sample_toks)`` -> params pytree
+      ``{"embed", "stages", "head"}`` (stages stage-stacked);
+    * ``place(params)`` device_puts it with stages over the pipe axis;
+    * ``step_fn(params, opt_state, (toks, targets))`` -> updated triple;
+    * ``value_and_grad(params, toks, targets)`` -> (loss, grads), the
+      shard_map'd pipelined program (for parity tests vs the sequential
+      composition of the same blocks).
+    """
+    import optax
+
+    from pytorch_quantize_impls_tpu.train.clipping import clip_quantized_weights
+    from jax import shard_map
+
+    if optimizer is None:
+        optimizer = optax.chain(optax.adam(1e-3), clip_quantized_weights())
+
+    stage_fn = flax_stage_fn(block, train=True)
+
+    def init_params(key, sample_toks):
+        ke, ks, kh = jax.random.split(key, 3)
+        ep = embed.init({"params": ke}, sample_toks)["params"]
+        h = embed.apply({"params": ep}, sample_toks)
+        stages = init_flax_stages(ks, block, h[:1], n_stages, train=False)
+        hp = head.init({"params": kh}, h)["params"]
+        return {"embed": ep, "stages": stages, "head": hp}
+
+    def loss_local(params, toks, targets):
+        h = embed.apply({"params": params["embed"]}, toks)
+        b, s, d = h.shape
+        assert b % n_micro == 0, (b, n_micro)
+        hm = h.reshape(n_micro, b // n_micro, s, d)
+        out = pipeline_stages(
+            stage_fn, params["stages"], hm, n_stages=n_stages
+        )
+        logits = head.apply(
+            {"params": params["head"]}, out.reshape(b, s, d)
+        ).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits)
+        ce = -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
+        stage_id = jax.lax.axis_index(PIPE_AXIS)
+        loss = jax.lax.psum(
+            jnp.where(stage_id == n_stages - 1, ce, 0.0), PIPE_AXIS
+        )
+        return jax.lax.pmean(loss, DATA_AXIS)
+
+    vag = shard_map(
+        jax.value_and_grad(loss_local),
+        mesh=mesh,
+        in_specs=(PARAM_SPECS, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), PARAM_SPECS),
+    )
+
+    def place(params):
+        shardings = {
+            "embed": jax.tree.map(
+                lambda _: NamedSharding(mesh, P()), params["embed"]
+            ),
+            "stages": stage_param_shardings(params["stages"], mesh),
+            "head": jax.tree.map(
+                lambda _: NamedSharding(mesh, P()), params["head"]
+            ),
+        }
+        return jax.device_put(params, shardings)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        toks, targets = batch
+        loss, grads = vag(params, toks, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init_opt(params):
+        return optimizer.init(params)
+
+    return step, place, init_params, init_opt, vag
+
+
 def make_pipeline_train_step(
     mesh: Mesh,
     *,

@@ -26,7 +26,9 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pytorch_quantize_impls_tpu.parallel.mesh import DATA_AXIS
 from pytorch_quantize_impls_tpu.serve.generate import _MUT, _sample
 
 
@@ -89,6 +91,18 @@ class DecodeEngine:
     (weights stay 1-8 bit in HBM; SURVEY.md §3.5 seam applied to decode).
     Pack with the TRAIN-mode model: module paths are identical in the decode
     twin, so the records line up.
+
+    ``mesh`` (optional): a ``(data, model)`` device mesh — the decode step
+    then runs under ``shard_map`` with SLOTS SHARDED OVER THE DATA AXIS:
+    each device group owns ``n_slots / mesh.shape['data']`` cache rows and
+    steps them locally (params replicated; Pallas packed kernels run on
+    per-shard local arrays, which is why this is shard_map and not GSPMD —
+    pallas_call is opaque to the XLA partitioner). This is the multi-device
+    form of continuous batching mandated by BASELINE.json:5 ("across
+    hosts"): on a pod slice the data axis spans hosts, so every host serves
+    its slice of the slot pool in the same SPMD program. ``n_slots`` must be
+    divisible by the data-axis size. Prefill stays per-request (batch=1,
+    replicated) — only the steady-state step, where the FLOPs are, shards.
     """
 
     def __init__(
@@ -101,8 +115,17 @@ class DecodeEngine:
         prompt_buckets: Sequence[int] = (16, 32, 64, 128),
         temperature: float = 0.0,
         seed: int = 0,
+        mesh: Optional[Mesh] = None,
     ):
         self._md = model.clone(decode=True)
+        self._mesh = mesh
+        if mesh is not None:
+            dsz = mesh.shape[DATA_AXIS]
+            if n_slots % dsz:
+                raise ValueError(
+                    f"n_slots ({n_slots}) must divide over the data axis ({dsz})"
+                )
+            params = jax.device_put(params, NamedSharding(mesh, P()))
         self._params = params
         self._n_slots = n_slots
         self._max_len = model.max_len
@@ -127,11 +150,29 @@ class DecodeEngine:
             logits, st = _apply({"params": params}, toks)
             return logits[0], st["cache"]
 
-        @jax.jit
-        def _step(params, cache, toks, key):
+        def _step_body(params, cache, toks, key):
             logits, st = _apply({"params": params, "cache": cache}, toks[:, None])
             nxt = _sample(logits[:, 0], temperature, key)
             return nxt, st["cache"]
+
+        if mesh is None:
+            _step = jax.jit(_step_body)
+        else:
+            # DP over slots: each data-shard steps its local cache rows.
+            def _sharded_body(params, cache, toks, key):
+                # decorrelate sampling across shards
+                key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+                return _step_body(params, cache, toks, key)
+
+            _step = jax.jit(
+                jax.shard_map(
+                    _sharded_body,
+                    mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                    out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                    check_vma=False,
+                )
+            )
 
         self._prefill = _prefill
         self._step = _step

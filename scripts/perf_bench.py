@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""Model-level TPU performance benchmarks (VERDICT r2 #2/#4).
+
+bench.py measures square GEMMs; the BASELINE configs are conv models and the
+serving story is autoregressive decode, so this script measures:
+
+1. packed_conv2d vs fp32 XLA conv at the models' hot shapes,
+2. full-model packed inference (XNOR ConvNet / DoReFa ResNet-20 images/s,
+   packed vs fake-quant vs fp32 twin),
+3. decode serving (prefill latency + steady-state tokens/s, packed vs
+   fake-quant, batch 1/8/32) on a serving-sized quantized transformer.
+
+Writes a markdown report (--out PERF.md). Timing uses the same differential
+method as bench.py (the TPU relay adds a large noisy constant per sync that
+cancels in T(2N)-T(N)); every number is a median over --repeats with spread.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _force(x) -> float:
+    x = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(jnp.ravel(x)[:1].astype(jnp.float32)))
+
+
+def make_bench(iters: int, repeats: int):
+    def bench(fn, *args):
+        """(median_seconds_per_iter, rel_spread) via differential timing."""
+        _force(fn(*args))  # compile + settle
+
+        def run(n):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n):
+                o = fn(*args)
+            _force(o)
+            return time.perf_counter() - t0
+
+        ests = []
+        for _ in range(repeats):
+            t_n, t_2n = run(iters), run(2 * iters)
+            ests.append(max((t_2n - t_n) / iters, 1e-9))
+        ests.sort()
+        med = ests[len(ests) // 2]
+        return med, (ests[-1] - ests[0]) / med
+
+    return bench
+
+
+def bench_conv(bench, rows, quick=False):
+    """Packed conv kernels vs fp32 conv at the CIFAR models' hot shapes."""
+    from pytorch_quantize_impls_tpu.kernels.conv import (
+        pack_conv_weights, packed_conv2d,
+    )
+    from pytorch_quantize_impls_tpu.ops.dorefa import (
+        dorefa_activation, dorefa_weight,
+    )
+
+    shapes = [(64, 16, 16, 256, 256)] if quick else [
+        (256, 32, 32, 128, 128),   # XNORConvNet stage-1 hot conv
+        (256, 16, 16, 256, 256),   # stage-2
+        (256, 8, 8, 512, 512),     # stage-3
+    ]
+    rng = np.random.default_rng(0)
+    for b, h, w_, cin, cout in shapes:
+        x = jnp.asarray(rng.normal(size=(b, h, w_, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+        )
+        flops = 2 * b * h * w_ * 9 * cin * cout  # SAME padding, stride 1
+
+        f32 = jax.jit(
+            lambda a, kk: jax.lax.conv_general_dilated(
+                a, kk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        t0, s0 = bench(f32, x, k)
+
+        pb = pack_conv_weights(k, "xnor", a_bits=1)
+        fb = jax.jit(lambda a, pw=pb: packed_conv2d(a, pw))
+        t1, s1 = bench(fb, x)
+
+        pd = pack_conv_weights(dorefa_weight(k, 4), "dorefa", w_bits=4, a_bits=4)
+        xd = dorefa_activation(jnp.abs(x), 4)
+        fd = jax.jit(lambda a, pw=pd: packed_conv2d(a, pw))
+        t2, s2 = bench(fd, xd)
+
+        shape = f"{b}x{h}x{w_}x{cin}->{cout}"
+        rows.append(
+            ("conv", f"fp32 HIGHEST {shape}", flops / t0 / 1e12, 1.0, s0)
+        )
+        rows.append(
+            ("conv", f"xnor packed {shape}", flops / t1 / 1e12, t0 / t1, s1)
+        )
+        rows.append(
+            ("conv", f"dorefa4 packed {shape}", flops / t2 / 1e12, t0 / t2, s2)
+        )
+        print(f"# conv {shape}: fp32 {flops/t0/1e12:.1f} T/s | "
+              f"xnor {flops/t1/1e12:.1f} T/s ({t0/t1:.1f}x) | "
+              f"dorefa4 {flops/t2/1e12:.1f} T/s ({t0/t2:.1f}x)",
+              file=sys.stderr)
+
+
+def bench_models(bench, rows, quick=False):
+    """Full-model inference images/s: packed vs fake-quant vs fp32 twin."""
+    from pytorch_quantize_impls_tpu import infer, models
+
+    batch = 64 if quick else 256
+    zoo = [
+        ("xnor_convnet", models.XNORConvNet(), models.XNORConvNet(quantized=False)),
+        ("dorefa_resnet20",
+         models.DorefaResNet20(w_bits=4, a_bits=4),
+         models.DorefaResNet20(quantized=False)),
+    ]
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(batch, 32, 32, 3)).astype(np.float32))
+    for name, qm, fm in zoo:
+        vq = qm.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+        vf = fm.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+        packed = infer.prepare(infer.pack_model(qm, vq, x[:1]))
+
+        fq = jax.jit(lambda v, a, m=qm: m.apply(v, a, train=False))
+        ff = jax.jit(lambda v, a, m=fm: m.apply(v, a, train=False))
+        fp = jax.jit(
+            lambda v, a, m=qm, p=packed: infer.packed_apply(m, v, p, a)
+        )
+        tq, sq = bench(fq, vq, x)
+        tf, sf = bench(ff, vf, x)
+        tp, sp = bench(fp, vq, x)
+        rows.append((name, "fp32 twin", batch / tf, 1.0, sf))
+        rows.append((name, "fake-quant", batch / tq, tf / tq, sq))
+        rows.append((name, "packed", batch / tp, tf / tp, sp))
+        print(f"# {name} b{batch}: fp32 {batch/tf:,.0f} img/s | "
+              f"fake-quant {batch/tq:,.0f} | packed {batch/tp:,.0f} "
+              f"({tf/tp:.2f}x fp32)", file=sys.stderr)
+
+
+def bench_decode(bench, rows, quick=False):
+    """Serving-size transformer: prefill latency + steady decode tokens/s."""
+    from pytorch_quantize_impls_tpu import infer
+    from pytorch_quantize_impls_tpu.models.transformer import QuantTransformerLM
+    from pytorch_quantize_impls_tpu.serve.generate import _MUT, _sample
+    from pytorch_quantize_impls_tpu.infer.packed import packed_apply
+
+    if quick:
+        lm = QuantTransformerLM(
+            vocab=256, d_model=128, n_heads=4, n_layers=2, d_ff=256,
+            max_len=128, scheme="binary", w_bits=1, a_bits=1,
+        )
+        prompt_len, batches = 32, (1, 4)
+    else:
+        lm = QuantTransformerLM(
+            vocab=8192, d_model=1024, n_heads=8, n_layers=8, d_ff=4096,
+            max_len=1024, scheme="binary", w_bits=1, a_bits=1,
+        )
+        prompt_len, batches = 128, (1, 8, 32)
+    rng = np.random.default_rng(2)
+    toks1 = jnp.asarray(
+        rng.integers(0, lm.vocab, (1, prompt_len)), jnp.int32
+    )
+    v = lm.init({"params": jax.random.PRNGKey(0)}, toks1, train=False)
+    packed = infer.pack_model(lm, v, toks1)
+    md = lm.clone(decode=True)
+
+    def apply_fake(variables, t):
+        return md.apply(variables, t, train=False, mutable=_MUT)
+
+    def apply_packed(variables, t):
+        return packed_apply(md, variables, packed, t, mutable=_MUT)
+
+    for label, ap in (("fake-quant", apply_fake), ("packed", apply_packed)):
+        prefill = jax.jit(lambda p, t, ap=ap: ap({"params": p}, t))
+        tpre, spre = bench(prefill, v["params"], toks1)
+        rows.append(
+            ("decode", f"{label} prefill {prompt_len} tok (ms)",
+             tpre * 1e3, 0.0, spre)
+        )
+        print(f"# decode {label}: prefill({prompt_len}) {tpre*1e3:.2f} ms",
+              file=sys.stderr)
+        for b in batches:
+            tb = jnp.asarray(
+                rng.integers(0, lm.vocab, (b, prompt_len)), jnp.int32
+            )
+            _, st = jax.jit(lambda p, t, ap=ap: ap({"params": p}, t))(
+                v["params"], tb
+            )
+            cache = st["cache"]
+
+            @jax.jit
+            def step(p, c, t, ap=ap):
+                logits, st2 = ap({"params": p, "cache": c}, t[:, None])
+                return (
+                    _sample(logits[:, 0], 0.0, jax.random.PRNGKey(0)),
+                    st2["cache"],
+                )
+
+            cur = jnp.zeros((b,), jnp.int32)
+
+            def one(p, c, t):
+                nxt, c2 = step(p, c, t)
+                return c2  # feed cache forward; _force touches a leaf
+
+            # steady state: time a single-token step at fixed cursor region
+            tstep, sstep = bench(one, v["params"], cache, cur)
+            rows.append(
+                ("decode", f"{label} decode b{b} (tok/s)",
+                 b / tstep, 0.0, sstep)
+            )
+            print(f"# decode {label} b{b}: {tstep*1e3:.2f} ms/step = "
+                  f"{b/tstep:,.0f} tok/s", file=sys.stderr)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default=None, help="write markdown report here")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--quick", action="store_true", help="small shapes (CPU smoke)")
+    p.add_argument("--sections", nargs="*",
+                   default=["conv", "models", "decode"])
+    a = p.parse_args()
+    iters = a.iters if a.iters else (3 if a.quick else 20)
+    bench = make_bench(iters, a.repeats)
+
+    dev = jax.devices()[0]
+    print(f"# perf_bench on {dev} (iters={iters}, repeats={a.repeats})",
+          file=sys.stderr)
+    rows = []  # (section, case, value, vs_fp32, spread)
+    if "conv" in a.sections:
+        bench_conv(bench, rows, a.quick)
+    if "models" in a.sections:
+        bench_models(bench, rows, a.quick)
+    if "decode" in a.sections:
+        bench_decode(bench, rows, a.quick)
+
+    lines = [
+        f"# PERF — model-level benchmarks ({dev.platform}: {dev})",
+        "",
+        "Differential timing (relay constant cancels); median over "
+        f"{a.repeats} repeats, spread = (max-min)/median.",
+        "",
+        "| section | case | value | vs fp32 | spread |",
+        "|---|---|---|---|---|",
+    ]
+    for sec, case, val, ratio, spread in rows:
+        unit = ("T/s" if sec == "conv"
+                else "ms" if "(ms)" in case
+                else "tok/s" if sec == "decode"
+                else "img/s")
+        ratio_s = f"{ratio:.2f}x" if ratio else "—"
+        lines.append(
+            f"| {sec} | {case} | {val:,.1f} {unit} | {ratio_s} "
+            f"| ±{spread*100:.0f}% |"
+        )
+    report = "\n".join(lines) + "\n"
+    print(report)
+    if a.out:
+        Path(a.out).write_text(report)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

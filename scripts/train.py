@@ -122,7 +122,8 @@ def main() -> int:
     timer = StepTimer()
     with MetricsWriter(cfg.metrics_path) as mw:
         for batch in data.iterate_batches(
-            train_data, cfg.batch_size, seed=cfg.seed
+            train_data, cfg.batch_size, seed=cfg.seed,
+            start_step=int(state.step),  # align data stream after resume
         ):
             if int(state.step) >= cfg.steps:
                 break
