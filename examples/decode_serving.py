@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Continuous-batching decode serving, end to end.
+
+Builds a small quantized transformer LM (binary W1A1 — every QKV/out/FFN
+projection executes on the packed integer-GEMM path at serving time), packs
+its weights, and serves concurrent generation requests through
+``serve.DecodeEngine``:
+
+* requests of different prompt lengths join mid-flight (slot scheduling),
+* the KV cache is int8-quantized in HBM,
+* with >1 device, slots are sharded over the mesh data axis (shard_map DP —
+  the multi-device form of continuous batching).
+
+Run on CPU:  JAX_PLATFORMS=cpu python examples/decode_serving.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_quantize_impls_tpu import infer, parallel, serve
+from pytorch_quantize_impls_tpu.models.transformer import QuantTransformerLM
+
+
+def main() -> int:
+    vocab = 256
+    lm = QuantTransformerLM(
+        vocab=vocab, d_model=128, n_heads=4, n_layers=2, d_ff=256,
+        max_len=128, scheme="binary", w_bits=1, a_bits=1,
+    )
+    rng = np.random.default_rng(0)
+    sample = jnp.asarray(rng.integers(0, vocab, (1, 8)), jnp.int32)
+    variables = lm.init({"params": jax.random.PRNGKey(0)}, sample, train=False)
+    packed = infer.pack_model(lm, variables, sample)
+    print(f"packed {len(packed)} projections "
+          f"({sum(np.asarray(r.packed).nbytes for r in packed.values()):,} "
+          "bytes of 1-bit weights in HBM)")
+
+    n_dev = len(jax.devices())
+    mesh = parallel.make_mesh((n_dev, 1)) if n_dev > 1 else None
+    n_slots = max(4, n_dev)
+    eng = serve.DecodeEngine(
+        lm, variables["params"], packed=packed, n_slots=n_slots, mesh=mesh,
+        prompt_buckets=(8, 16, 32), temperature=0.0,
+    )
+    try:
+        prompts = [
+            rng.integers(0, vocab, size=l).astype(np.int32)
+            for l in (5, 12, 20, 7, 30, 9, 14, 25)
+        ]
+        t0 = time.perf_counter()
+        futures = [eng.submit(p, max_new=16) for p in prompts]
+        outs = [f.result(timeout=600) for f in futures]
+        dt = time.perf_counter() - t0
+    finally:
+        eng.shutdown()
+
+    for p, o in zip(prompts, outs):
+        print(f"prompt[{len(p):2d} tok] -> {list(o[:8])}...")
+    s = eng.stats
+    print(f"{s.requests} requests, {s.tokens} tokens in {dt:.2f}s "
+          f"({s.tokens/dt:,.0f} tok/s incl. compile), "
+          f"mean slot occupancy {s.mean_occupancy:.2f} over {s.steps} steps"
+          + (f", slots DP-sharded over {n_dev} devices" if mesh else ""))
+
+    # single-request parity check against serve.generate
+    ref = serve.generate(
+        lm, variables["params"], jnp.asarray(prompts[0])[None], 16
+    )
+    assert list(outs[0]) == list(np.asarray(ref)[0]), "engine != generate"
+    print("parity vs serve.generate: OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

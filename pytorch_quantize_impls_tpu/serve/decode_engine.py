@@ -150,25 +150,35 @@ class DecodeEngine:
             logits, st = _apply({"params": params}, toks)
             return logits[0], st["cache"]
 
-        def _step_body(params, cache, toks, key):
+        def _step_body(params, cache, toks, active, key):
             logits, st = _apply({"params": params, "cache": cache}, toks[:, None])
             nxt = _sample(logits[:, 0], temperature, key)
-            return nxt, st["cache"]
+            # Idle slots run the dummy token like everyone else (one static
+            # shape), but their cursors are pinned to 0 so their state never
+            # depends on OOB-scatter-drop semantics; admit fully rewrites
+            # the row anyway (ADVICE r2).
+            cache2 = jax.tree_util.tree_map_with_path(
+                lambda p, leaf: (
+                    jnp.where(active, leaf, 0) if _is_cursor(p) else leaf
+                ),
+                st["cache"],
+            )
+            return nxt, cache2
 
         if mesh is None:
             _step = jax.jit(_step_body)
         else:
             # DP over slots: each data-shard steps its local cache rows.
-            def _sharded_body(params, cache, toks, key):
+            def _sharded_body(params, cache, toks, active, key):
                 # decorrelate sampling across shards
                 key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-                return _step_body(params, cache, toks, key)
+                return _step_body(params, cache, toks, active, key)
 
             _step = jax.jit(
                 jax.shard_map(
                     _sharded_body,
                     mesh=mesh,
-                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
                     out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
                     check_vma=False,
                 )
@@ -292,8 +302,11 @@ class DecodeEngine:
                 [s.last_token if s is not None else 0 for s in self._slots],
                 jnp.int32,
             )
+            mask = jnp.asarray(
+                [s is not None for s in self._slots], jnp.bool_
+            )
             nxt, self._cache = self._step(
-                self._params, self._cache, toks, self._next_key()
+                self._params, self._cache, toks, mask, self._next_key()
             )
             nxt = np.asarray(nxt)
             with self._lock_stats():
