@@ -162,18 +162,25 @@ def prepare(packed: PackedModel) -> PackedModel:
     }
 
 
-def _dense_forward(m: QuantDense, rec: PackedLayer, x, bias):
+def _dense_forward(m: QuantDense, rec: PackedLayer, x, bias, tp_axis=None):
     # packed GEMM kernels take (M, K); fold any leading batch/sequence dims
     if x.ndim == 1:
-        return _dense_forward_2d(m, rec, x[None], bias)[0]
+        return _dense_forward_2d(m, rec, x[None], bias, tp_axis)[0]
     lead = x.shape[:-1]
     if x.ndim > 2:
         x = x.reshape(-1, x.shape[-1])
-    y = _dense_forward_2d(m, rec, x, bias)
+    y = _dense_forward_2d(m, rec, x, bias, tp_axis)
     return y.reshape(*lead, y.shape[-1]) if len(lead) != 1 else y
 
 
-def _dense_forward_2d(m: QuantDense, rec: PackedLayer, x, bias):
+def _dense_forward_2d(m: QuantDense, rec: PackedLayer, x, bias, tp_axis=None):
+    """One packed GEMM. ``tp_axis`` (a mesh axis name, inside shard_map):
+    this rank holds a COLUMN SHARD of the packed codes (pack runs along K,
+    so any N-split lands on unpacked element boundaries — SURVEY.md §2
+    pack-after-shard discipline); the local GEMM computes an N-shard and a
+    tiled all-gather reassembles the full output (column-parallel TP:
+    "packed low-bit weights tensor-sharded over the mesh", BASELINE.json:5).
+    """
     if rec.scheme in ("binary", "xnor") and rec.a_bits == 1:
         xi = jnp.where(x >= 0, 1, -1).astype(jnp.int8)
         if rec.decoded is not None:
@@ -200,6 +207,10 @@ def _dense_forward_2d(m: QuantDense, rec: PackedLayer, x, bias):
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
         if rec.alpha is not None:
             y = y * rec.alpha[None, :]
+    if tp_axis is not None:
+        # local (M, N/n) column shard -> full (M, N); shard order == axis
+        # order, so the tiled gather reassembles the original columns
+        y = jax.lax.all_gather(y, tp_axis, axis=1, tiled=True)
     if bias is not None:
         y = y + bias
     return y.astype(x.dtype)
@@ -250,11 +261,19 @@ def _conv_forward(m: QuantConv, rec: PackedLayer, x, bias):
     return y.astype(x.dtype)
 
 
-def packed_apply(model: fnn.Module, variables, packed: PackedModel, x, **kwargs):
+def packed_apply(
+    model: fnn.Module, variables, packed: PackedModel, x, *, tp_axis=None,
+    **kwargs,
+):
     """Eval forward with every quantized layer dispatched to its packed path.
 
     Non-quantized modules (BatchNorm, activations, pooling, K-maps, heads)
     run unchanged from ``variables``.
+
+    ``tp_axis``: mesh axis name when called INSIDE shard_map with the dense
+    layers' packed buffers column-sharded over that axis (see
+    :func:`packed_tp_specs`) — each dense GEMM runs on its local N-shard and
+    all-gathers the output.
     """
 
     def interceptor(next_fun, args, kwargs_, context):
@@ -271,11 +290,35 @@ def packed_apply(model: fnn.Module, variables, packed: PackedModel, x, **kwargs)
                 )
                 if isinstance(m, QuantConv):
                     return _conv_forward(m, rec, args[0], bias)
-                return _dense_forward(m, rec, args[0], bias)
+                return _dense_forward(m, rec, args[0], bias, tp_axis)
         return next_fun(*args, **kwargs_)
 
     with fnn.intercept_methods(interceptor):
         return model.apply(variables, x, train=False, **kwargs)
+
+
+def packed_tp_specs(packed: PackedModel, axis: str):
+    """PartitionSpec pytree (same treedef as ``packed``) for shard_map
+    ``in_specs``: dense layers column-sharded over ``axis`` (codes and
+    decoded buffers on their N axis, alpha on its only axis); conv layers
+    replicated (conv TP is not wired — CNN serving shards on data)."""
+    from jax.sharding import PartitionSpec as P
+
+    out: Dict[Tuple[str, ...], PackedLayer] = {}
+    for path, rec in packed.items():
+        if rec.kind == "dense":
+            out[path] = rec.replace(
+                packed=P(None, axis),
+                alpha=None if rec.alpha is None else P(axis),
+                decoded=None if rec.decoded is None else P(None, axis),
+            )
+        else:
+            out[path] = rec.replace(
+                packed=P(),
+                alpha=None if rec.alpha is None else P(),
+                decoded=None if rec.decoded is None else P(),
+            )
+    return out
 
 
 # --- inference-only export artifact ---------------------------------------

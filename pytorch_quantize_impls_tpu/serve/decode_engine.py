@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pytorch_quantize_impls_tpu.parallel.mesh import DATA_AXIS
+from pytorch_quantize_impls_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from pytorch_quantize_impls_tpu.serve.generate import _MUT, _sample
 
 
@@ -167,18 +167,64 @@ class DecodeEngine:
 
         if mesh is None:
             _step = jax.jit(_step_body)
+            self._step_extra = ()
         else:
             # DP over slots: each data-shard steps its local cache rows.
-            def _sharded_body(params, cache, toks, active, key):
+            # With a model axis > 1 AND packed weights, the packed buffers
+            # additionally ride as column-sharded arguments and every dense
+            # GEMM runs tensor-parallel (local N-shard + tiled all-gather)
+            # — packed low-bit weights tensor-sharded over the mesh.
+            tp = packed is not None and mesh.shape.get(MODEL_AXIS, 1) > 1
+            tp_axis = MODEL_AXIS if tp else None
+
+            def _sharded_body(params, cache, toks, active, key, packed_arg):
                 # decorrelate sampling across shards
                 key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-                return _step_body(params, cache, toks, active, key)
+                from pytorch_quantize_impls_tpu.infer.packed import (
+                    packed_apply,
+                )
+
+                if packed_arg:
+                    logits, st = packed_apply(
+                        md, {"params": params, "cache": cache}, packed_arg,
+                        toks[:, None], tp_axis=tp_axis, mutable=_MUT,
+                    )
+                else:
+                    logits, st = md.apply(
+                        {"params": params, "cache": cache}, toks[:, None],
+                        train=False, mutable=_MUT,
+                    )
+                nxt = _sample(logits[:, 0], temperature, key)
+                cache2 = jax.tree_util.tree_map_with_path(
+                    lambda p, leaf: (
+                        jnp.where(active, leaf, 0) if _is_cursor(p) else leaf
+                    ),
+                    st["cache"],
+                )
+                return nxt, cache2
+
+            if packed is None:
+                packed_specs = P()  # empty-pytree placeholder
+                self._step_extra = ({},)
+            elif tp:
+                from pytorch_quantize_impls_tpu.infer.packed import (
+                    packed_tp_specs,
+                )
+
+                packed_specs = packed_tp_specs(packed, MODEL_AXIS)
+                self._step_extra = (packed,)
+            else:
+                packed_specs = jax.tree.map(lambda _: P(), packed)
+                self._step_extra = (packed,)
 
             _step = jax.jit(
                 jax.shard_map(
                     _sharded_body,
                     mesh=mesh,
-                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+                    in_specs=(
+                        P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(),
+                        packed_specs,
+                    ),
                     out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
                     check_vma=False,
                 )
@@ -306,7 +352,8 @@ class DecodeEngine:
                 [s is not None for s in self._slots], jnp.bool_
             )
             nxt, self._cache = self._step(
-                self._params, self._cache, toks, mask, self._next_key()
+                self._params, self._cache, toks, mask, self._next_key(),
+                *self._step_extra,
             )
             nxt = np.asarray(nxt)
             with self._lock_stats():

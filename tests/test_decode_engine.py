@@ -113,12 +113,19 @@ def test_packed_engine_matches_fake_quant(scheme, w_bits, a_bits):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("use_packed", [False, True])
-def test_mesh_sharded_engine_matches_generate(use_packed):
-    """DP-over-slots serving (VERDICT r2 #3): engine stepping on a (data,
-    model) mesh — slots sharded over the data axis via shard_map — must
-    reproduce single-request ``generate`` exactly (greedy), with and without
-    packed-weight execution."""
+@pytest.mark.parametrize(
+    "use_packed,mesh_shape",
+    [
+        (False, (4, 2)),  # DP over slots, fake-quant
+        (True, (4, 2)),   # DP over slots, packed (replicated weights)
+        (True, (2, 4)),   # DP x TP: packed codes COLUMN-SHARDED over model
+    ],
+)
+def test_mesh_sharded_engine_matches_generate(use_packed, mesh_shape):
+    """Multi-device serving (VERDICT r2 #3): engine stepping on a (data,
+    model) mesh — slots sharded over the data axis via shard_map, and with
+    a model axis the packed low-bit weights tensor-sharded column-wise —
+    must reproduce single-request ``generate`` exactly (greedy)."""
     from pytorch_quantize_impls_tpu import infer, parallel
 
     m = QuantTransformerLM(
@@ -130,7 +137,7 @@ def test_mesh_sharded_engine_matches_generate(use_packed):
     params = v["params"]
     packed = infer.pack_model(m, v, jax.numpy.asarray(x)) if use_packed else None
 
-    mesh = parallel.make_mesh((4, 2))  # 8 virtual devices: 4-way slot DP
+    mesh = parallel.make_mesh(mesh_shape)
     eng = serve.DecodeEngine(
         m, params, packed=packed, n_slots=8, mesh=mesh
     )
@@ -143,8 +150,9 @@ def test_mesh_sharded_engine_matches_generate(use_packed):
     for p, g in zip(prompts, got):
         np.testing.assert_array_equal(g, _expected(m, params, p, 5))
 
-    with pytest.raises(ValueError):  # 6 slots don't divide the 4-way axis
-        serve.DecodeEngine(m, params, n_slots=6, mesh=mesh)
+    if mesh_shape[0] == 4:
+        with pytest.raises(ValueError):  # 6 slots don't divide the 4-way axis
+            serve.DecodeEngine(m, params, n_slots=6, mesh=mesh)
 
 
 def test_long_prompt_beyond_buckets(model_and_params):
