@@ -99,11 +99,18 @@ def _bench_samples(fn, *args, repeats: int = 5) -> list:
         _force(o)
         return time.perf_counter() - t0
 
+    n = ITERS
+    est = max((run(2 * n) - run(n)) / n, 1e-9)  # pilot
+    # Auto-scale the differential window to ~0.25 s of device time: fixed
+    # N=50 gives ~20-200 ms chains whose difference rides the relay
+    # constant's jitter (the BENCH_r01->r02 "5% drift" was exactly this).
+    n = min(max(n, int(0.25 / est)), 2000)
+
     ests = []
     for _ in range(repeats):
-        t_n = run(ITERS)
-        t_2n = run(2 * ITERS)
-        ests.append(max((t_2n - t_n) / ITERS, 1e-9))
+        t_n = run(n)
+        t_2n = run(2 * n)
+        ests.append(max((t_2n - t_n) / n, 1e-9))
     return ests
 
 

@@ -1,11 +1,24 @@
-"""Packed 2-D convolution = im2col (XLA patch extraction) + packed GEMM.
+"""Packed 2-D convolution: int8 MXU conv from bit-packed HBM weights.
 
-Covers BASELINE configs 2-5 (conv models). The patch extraction is a
-bandwidth-bound reshuffle XLA does well; the FLOPs all land in the packed
-Pallas GEMM, so the conv inherits the GEMM's int8/bf16 MXU throughput.
-Layouts: x NHWC, weights HWIO flattened to (kh*kw*cin, cout) *before*
-packing (same flattening order as ``conv_general_dilated_patches`` emits —
-feature dim ordered as (cin, kh, kw), see ``_flatten_hwio``).
+Covers BASELINE configs 2-5 (conv models). Two execution modes:
+
+``direct`` (default): decode the packed weight planes to int8 codes
+(weights are KB-scale — the decode is noise next to the conv) and call
+XLA's native int8 ``conv_general_dilated`` with ``preferred_element_type=
+int32`` plus a fused scale epilogue. Measured on v5e at the CIFAR models'
+hot shapes: 200-300 T/s — 7-10x the fp32-HIGHEST conv and 1.5-2x the bf16
+conv the fp32 twin actually executes — while weights stay 1/2/4-bit in HBM.
+
+``im2col``: materialize ``conv_general_dilated_patches`` in HBM and run the
+packed Pallas GEMM. Kept as the cross-check path (and for shapes where a
+patch GEMM is preferable), but it is bandwidth-bound: the fp32 patch tensor
+is kh*kw x the activation bytes, which caps it at 0.2-0.4x fp32 conv at
+CIFAR shapes (PERF.md r3) — hence not the default.
+
+Layouts: x NHWC, weights HWIO flattened to (cin*kh*kw, cout) *before*
+packing (feature dim ordered (cin, kh, kw) — the order
+``conv_general_dilated_patches`` emits, see ``_flatten_hwio``); the direct
+mode inverts that flattening back to HWIO after decoding.
 """
 
 from __future__ import annotations
@@ -73,6 +86,62 @@ def pack_conv_weights(
     )
 
 
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def decode_conv_weights(pw: PackedConv) -> jax.Array:
+    """Packed flat planes -> HWIO code weights for the direct conv path.
+
+    binary/xnor: ±1 int8; dorefa: centered int8 codes ``2c - n_w``;
+    log: exact ±2^e bf16. Inverts ``_flatten_hwio``'s (cin, kh, kw)
+    channel-major flattening (decode pads K to the plane group — slice it).
+    """
+    kh, kw = pw.kernel_size
+    k = pw.cin * kh * kw
+    if pw.scheme in ("binary", "xnor"):
+        flat = bg.decode_binary_weights(pw.packed)[:k]
+    elif pw.scheme == "dorefa":
+        flat = pm.decode_dorefa_weights(pw.packed, w_bits=pw.w_bits)[:k]
+    elif pw.scheme == "log":
+        flat = sm.decode_log_weights(pw.packed, fsr=pw.fsr, bits=pw.w_bits)[:k]
+    else:
+        raise ValueError(pw.scheme)
+    return flat.reshape(pw.cin, kh, kw, pw.cout).transpose(1, 2, 0, 3)
+
+
+def _direct_conv2d(x, pw: PackedConv, strides, padding):
+    """Decoded-weight XLA conv: int8 MXU for binary/xnor/dorefa (exact
+    integer accumulate + scalar epilogue), bf16 for log."""
+    w4 = decode_conv_weights(pw)
+    if pw.scheme in ("binary", "xnor"):
+        # Binarize real inputs to ±1 codes; conv's internal SAME-padding
+        # zeros are exact (code 0 == value 0), matching fake-quant conv.
+        xi = x if x.dtype == jnp.int8 else jnp.where(x >= 0, 1, -1).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xi, w4, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        if pw.alpha is not None:
+            y = y * pw.alpha
+        return y
+    if pw.scheme == "dorefa":
+        codes = x if x.dtype == jnp.int8 else pm.dorefa_act_to_int8(x, pw.a_bits)
+        y = jax.lax.conv_general_dilated(
+            codes, w4, strides, padding, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        n_w = 2**pw.w_bits - 1
+        n_a = 2**pw.a_bits - 1
+        return y * (1.0 / (n_w * n_a))
+    if pw.scheme == "log":
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w4, strides, padding,
+            dimension_numbers=_DN, preferred_element_type=jnp.float32,
+        )
+        return y
+    raise ValueError(pw.scheme)
+
+
 def packed_conv2d(
     x: jax.Array,
     pw: PackedConv,
@@ -80,13 +149,20 @@ def packed_conv2d(
     strides: Tuple[int, int] = (1, 1),
     padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
     interpret: Optional[bool] = None,
+    mode: str = "direct",
 ) -> jax.Array:
     """NHWC packed conv. Input handling per scheme:
 
     'binary'/'xnor': x is sign-binarized (full-binary conv; pre-scale real
     inputs outside if needed); 'dorefa': x is fake-quant [0,1] activations
     (``a_bits``); 'log': x used as-is in bf16.
+
+    ``mode='direct'`` (default) decodes weights and runs XLA's int8/bf16
+    conv (see module docstring); ``mode='im2col'`` runs patch extraction +
+    the packed Pallas GEMM.
     """
+    if mode == "direct":
+        return _direct_conv2d(x, pw, strides, padding)
     b, h, w_, cin = x.shape
     kh, kw = pw.kernel_size
     if pw.scheme in ("binary", "xnor"):

@@ -37,7 +37,13 @@ def _force(x) -> float:
 
 def make_bench(iters: int, repeats: int):
     def bench(fn, *args):
-        """(median_seconds_per_iter, rel_spread) via differential timing."""
+        """(median_seconds_per_iter, rel_spread) via differential timing.
+
+        Chain length auto-scales so the differential window (N iterations)
+        covers ~0.25 s of device time: with a fixed small N, sub-millisecond
+        ops drown in the ~25 ms relay constant's run-to-run jitter (r3 saw
+        +-299% spread on 0.7 ms decode steps at N=20).
+        """
         _force(fn(*args))  # compile + settle
 
         def run(n):
@@ -48,10 +54,14 @@ def make_bench(iters: int, repeats: int):
             _force(o)
             return time.perf_counter() - t0
 
+        n = iters
+        est = max((run(2 * n) - run(n)) / n, 1e-9)  # pilot
+        n = min(max(n, int(0.25 / est)), 5000)
+
         ests = []
         for _ in range(repeats):
-            t_n, t_2n = run(iters), run(2 * iters)
-            ests.append(max((t_2n - t_n) / iters, 1e-9))
+            t_n, t_2n = run(n), run(2 * n)
+            ests.append(max((t_2n - t_n) / n, 1e-9))
         ests.sort()
         med = ests[len(ests) // 2]
         return med, (ests[-1] - ests[0]) / med

@@ -214,11 +214,12 @@ def test_grouped_planar_roundtrip_tiled():
         np.testing.assert_array_equal(np.asarray(got), codes)
 
 
-def test_packed_conv_binary_parity():
+@pytest.mark.parametrize("mode", ["direct", "im2col"])
+def test_packed_conv_binary_parity(mode):
     x = jnp.asarray(_rand(2, 10, 10, 8))
     w = jnp.asarray(_rand(3, 3, 8, 16))
     pw = pack_conv_weights(w, "xnor")
-    got = packed_conv2d(x, pw, padding="SAME")
+    got = packed_conv2d(x, pw, padding="SAME", mode=mode)
     # reference: conv of sign(x) with alpha*sign(w)
     ref = jax.lax.conv_general_dilated(
         ops.safe_sign(x),
@@ -231,13 +232,14 @@ def test_packed_conv_binary_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_packed_conv_dorefa_parity():
+@pytest.mark.parametrize("mode", ["direct", "im2col"])
+def test_packed_conv_dorefa_parity(mode):
     x = jnp.asarray(np.abs(_rand(2, 8, 8, 8)))
     w = jnp.asarray(_rand(3, 3, 8, 16))
     wq = ops.dorefa_weight(w, 4)
     aq = ops.dorefa_activation(x, 4)
     pw = pack_conv_weights(wq, "dorefa", w_bits=4, a_bits=4)
-    got = packed_conv2d(aq, pw, padding="SAME")
+    got = packed_conv2d(aq, pw, padding="SAME", mode=mode)
     ref = jax.lax.conv_general_dilated(
         aq, wq, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -251,4 +253,6 @@ def test_packed_conv_strides():
     w = jnp.asarray(_rand(3, 3, 4, 8))
     pw = pack_conv_weights(w, "binary")
     got = packed_conv2d(x, pw, strides=(2, 2), padding="VALID")
+    assert got.shape == (1, 5, 5, 8)
+    got = packed_conv2d(x, pw, strides=(2, 2), padding="VALID", mode="im2col")
     assert got.shape == (1, 5, 5, 8)
