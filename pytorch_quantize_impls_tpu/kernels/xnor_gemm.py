@@ -299,19 +299,23 @@ def decode_binary_weights(w_packed: jax.Array, *, interpret=None) -> jax.Array:
     k = r * 32
     tk = min(k, 2048)
     tn = min(common.round_up(n, 128), 1024)
+    # K must be padded to the tile grid: k // tk floor-division silently
+    # dropped the last partial K-tile (e.g. K=2304 decoded only 2048 rows —
+    # the conv cin=256 divergence found in r3).
+    kp = common.round_up(k, tk)
     np_ = common.round_up(n, tn)
-    w_packed = common.pad_dim(w_packed, 1, np_)
+    w_packed = common.pad_dim(common.pad_dim(w_packed, 0, kp // 32), 1, np_)
     out = pl.pallas_call(
         _decode_kernel,
-        grid=(k // tk, np_ // tn),
+        grid=(kp // tk, np_ // tn),
         in_specs=[
             pl.BlockSpec((tk // 32, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((tk, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, np_), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((kp, np_), jnp.int8),
         interpret=interpret,
     )(w_packed)
-    return out[:, :n]
+    return out[:k, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))

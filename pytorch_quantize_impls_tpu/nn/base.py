@@ -74,6 +74,15 @@ class QuantDense(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.glorot_normal()
     bias_init: Callable = nn.initializers.zeros_init()
+    # Per-out-channel scale computed from the master kernel, applied to the
+    # OUTPUT (reference semantics, SURVEY.md §3.4: ``conv(Ib, Wb) * α``).
+    # Scaling the output instead of folding α into the weights keeps the
+    # fake-quant matmul integer-valued (exact in fp32/bf16 accumulation), so
+    # it is bit-identical to the packed int8 kernels' α epilogue — folding α
+    # in first accumulates fp rounding that can flip downstream sign
+    # binarizations en masse (BN outputs form a value lattice; a lattice
+    # point within 1e-7 of zero flips hundreds of positions at once).
+    out_scale: Optional[Quantizer] = None
     # Packed-execution metadata (read by ``infer.pack_model``):
     scheme: str = "none"  # none|binary|xnor|dorefa|log|lin|ternary
     w_bits: int = 1
@@ -88,6 +97,8 @@ class QuantDense(nn.Module):
         x = _apply_quant(self.input_quant, x, self, train)
         wq = _apply_quant(self.weight_quant, kernel, self, train)
         y = jnp.dot(x.astype(self.dtype or x.dtype), wq.astype(self.dtype or wq.dtype))
+        if self.out_scale is not None:
+            y = y * self.out_scale(kernel).astype(y.dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
             y = y + bias.astype(y.dtype)  # keep compute dtype (bf16 path)
@@ -109,6 +120,8 @@ class QuantConv(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Callable = nn.initializers.glorot_normal()
     bias_init: Callable = nn.initializers.zeros_init()
+    # Output α epilogue from the master kernel — see QuantDense.out_scale.
+    out_scale: Optional[Quantizer] = None
     # Packed-execution metadata (read by ``infer.pack_model``):
     scheme: str = "none"
     w_bits: int = 1
@@ -133,6 +146,8 @@ class QuantConv(nn.Module):
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if self.out_scale is not None:
+            y = y * self.out_scale(kernel).astype(y.dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
             y = y + bias.astype(y.dtype)  # keep compute dtype (bf16 path)

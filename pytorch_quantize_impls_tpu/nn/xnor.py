@@ -30,7 +30,11 @@ class XNORLinear(nn.Module):
     def __call__(self, x, train: bool = True):
         return QuantDense(
             features=self.features,
-            weight_quant=lambda w: ops.xnor_quantize(w, channel_axis=-1),
+            # sign weights + α on the OUTPUT (reference §3.4 order): keeps
+            # the matmul integer-exact == bit-identical to the packed kernel
+            # epilogue (see QuantDense.out_scale).
+            weight_quant=ops.safe_sign,
+            out_scale=lambda w: jnp.mean(jnp.abs(w), axis=0),
             input_quant=ops.binary_tanh if self.binarize_input else None,
             use_bias=self.use_bias,
             dtype=self.dtype,
@@ -65,8 +69,10 @@ class XNORConv(nn.Module):
             kernel_size=self.kernel_size,
             strides=self.strides,
             padding=self.padding,
-            # HWIO kernel: out-channel is the last axis.
-            weight_quant=lambda w: ops.xnor_quantize(w, channel_axis=-1),
+            # HWIO kernel: out-channel is the last axis. Sign weights + α on
+            # the OUTPUT (reference §3.4 order; see QuantDense.out_scale).
+            weight_quant=ops.safe_sign,
+            out_scale=lambda w: jnp.mean(jnp.abs(w), axis=(0, 1, 2)),
             input_quant=ops.binary_tanh if self.binarize_input else None,
             use_bias=self.use_bias,
             dtype=self.dtype,

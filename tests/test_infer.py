@@ -98,3 +98,19 @@ def test_packed_apply_jittable():
     y = f(variables, packed, x)
     ref = infer.packed_apply(model, variables, packed, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_xnor_convnet_packed_bit_exact_deep():
+    """The packed path must be BIT-exact vs fake-quant for XNOR convnets:
+    both sides run an integer-valued conv (exact in fp32 accumulation) and
+    the same alpha epilogue. Near-exact is not enough — BN outputs form a
+    value lattice, and a lattice point within fp-rounding of zero flips
+    hundreds of downstream sign binarizations at once (the r3 conv2
+    divergence)."""
+    x = jax.random.normal(KEY, (2, 32, 32, 3))
+    m = models.XNORConvNet(widths=(16, 16, 32, 32))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x[:1], train=False)
+    packed = infer.prepare(infer.pack_model(m, v, x[:1]))
+    yf = m.apply(v, x, train=False)
+    yp = infer.packed_apply(m, v, packed, x)
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yp))

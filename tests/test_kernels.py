@@ -256,3 +256,16 @@ def test_packed_conv_strides():
     assert got.shape == (1, 5, 5, 8)
     got = packed_conv2d(x, pw, strides=(2, 2), padding="VALID", mode="im2col")
     assert got.shape == (1, 5, 5, 8)
+
+
+def test_decode_binary_weights_partial_k_tile():
+    """Regression: K crossing the decode kernel's 2048 K-tile boundary
+    (K=2304) silently dropped the last partial tile before r3."""
+    from pytorch_quantize_impls_tpu.kernels.xnor_gemm import (
+        decode_binary_weights, pack_binary_weights,
+    )
+
+    w = jnp.asarray(_rand(2304, 256))
+    dec = decode_binary_weights(pack_binary_weights(w))[:2304]
+    ref = jnp.where(w >= 0, 1, -1).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref))
