@@ -269,3 +269,23 @@ def test_decode_binary_weights_partial_k_tile():
     dec = decode_binary_weights(pack_binary_weights(w))[:2304]
     ref = jnp.where(w >= 0, 1, -1).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref))
+
+
+def test_packed_conv_log_parity_direct():
+    """Log-scheme conv through the direct (decoded bf16 XLA conv) mode."""
+    from pytorch_quantize_impls_tpu.ops.log_lin import log_quant
+
+    x = jnp.asarray(_rand(2, 8, 8, 8))
+    w = jnp.asarray(_rand(3, 3, 8, 16))
+    pw = pack_conv_weights(w, "log", w_bits=4, fsr=1.0)
+    got = packed_conv2d(x, pw, padding="SAME", mode="direct")
+    ref = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16),
+        log_quant(w, fsr=1.0, bits=4).astype(jnp.bfloat16),
+        (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
