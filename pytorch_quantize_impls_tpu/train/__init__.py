@@ -8,6 +8,12 @@ from pytorch_quantize_impls_tpu.train.clipping import (  # noqa: F401
     clip_quantized_weights,
     default_clip_filter,
 )
+from pytorch_quantize_impls_tpu.train.quantized_optim import (  # noqa: F401
+    Quantized8,
+    QuantizedAdamState,
+    optimizer_state_bytes,
+    quantized_adam,
+)
 from pytorch_quantize_impls_tpu.train.state import QuantTrainState  # noqa: F401
 from pytorch_quantize_impls_tpu.train.steps import (  # noqa: F401
     make_eval_step,
