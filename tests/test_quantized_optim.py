@@ -152,3 +152,32 @@ def test_odd_shapes_roundtrip(shape):
     )
     q = _encode(x, 256, True)
     assert _decode(q, shape).shape == shape
+
+
+def test_quantized_adam_under_dp_mesh():
+    """The 8-bit state must ride the sharded train step (DP mesh): codes /
+    scales are replicated alongside the replicated params."""
+    from pytorch_quantize_impls_tpu import parallel
+
+    mesh = parallel.make_mesh((8, 1))
+    model = models.BinaryConnectMLP(hidden=16)
+    x = np.random.default_rng(0).normal(size=(16, 784)).astype(np.float32)
+    y = (np.arange(16) % 10).astype(np.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x[:1]), train=True
+    )
+    tx = optax.chain(quantized_adam(1e-3), train.clip_quantized_weights())
+    state = train.QuantTrainState.create_for(model, variables, tx)
+    with mesh:
+        state, step = parallel.make_sharded_train_step(state, mesh)
+        xb, yb = parallel.shard_batch((x, y), mesh)
+        state, metrics = step(state, (xb, yb))
+        state, metrics = step(state, (xb, yb))
+    assert np.isfinite(float(metrics["loss"]))
+    # the quantized moments actually advanced
+    leaves = [
+        l
+        for l in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(l, "dtype") and l.dtype in (jnp.int8, jnp.uint8)
+    ]
+    assert leaves and any(int(jnp.sum(jnp.abs(l.astype(jnp.int32)))) for l in leaves)
