@@ -114,3 +114,15 @@ def test_xnor_convnet_packed_bit_exact_deep():
     yf = m.apply(v, x, train=False)
     yp = infer.packed_apply(m, v, packed, x)
     np.testing.assert_array_equal(np.asarray(yf), np.asarray(yp))
+
+
+def test_bnn_lenet_packed_bit_exact():
+    """Binary scheme (no alpha): packed conv/dense must be bit-identical to
+    fake-quant — both paths run integer-exact math in f32 vs int32."""
+    x = jax.random.normal(KEY, (2, 28, 28, 1))
+    m = models.BNNLeNet()
+    v = m.init({"params": jax.random.PRNGKey(1)}, x[:1], train=False)
+    packed = infer.prepare(infer.pack_model(m, v, x[:1]))
+    yf = m.apply(v, x, train=False)
+    yp = infer.packed_apply(m, v, packed, x)
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yp))
