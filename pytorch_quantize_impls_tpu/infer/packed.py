@@ -154,10 +154,24 @@ def pack_model(model: fnn.Module, variables, sample_x) -> PackedModel:
     return records
 
 
+def _decode_execution(rec: PackedLayer):
+    """The weight-stationary buffer the layer's hot path actually consumes.
+
+    dorefa with int-quantized activations runs the integer GEMM, which
+    wants CENTERED INT8 CODES (2c - n_w), not fake-quant f32 values; every
+    other case executes on decoded values (``_decode_weights``). The rule
+    matches the dispatch in ``_dense_forward_2d``: codes exactly when the
+    fp fallback can never be taken for this record.
+    """
+    if rec.scheme == "dorefa" and 1 <= rec.a_bits <= 7:
+        return _pm.decode_dorefa_weights(rec.packed, w_bits=rec.w_bits)
+    return _decode_weights(rec)
+
+
 def prepare(packed: PackedModel) -> PackedModel:
     """Decode every layer's execution buffer once (weight-stationary)."""
     return {
-        path: rec.replace(decoded=_decode_weights(rec))
+        path: rec.replace(decoded=_decode_execution(rec))
         for path, rec in packed.items()
     }
 
@@ -194,9 +208,16 @@ def _dense_forward_2d(m: QuantDense, rec: PackedLayer, x, bias, tp_axis=None):
 
         aq = dorefa_activation(x, rec.a_bits)
         codes = _pm.dorefa_act_to_int8(aq, rec.a_bits)
-        y = _pm.dorefa_gemm(
-            codes, rec.packed, w_bits=rec.w_bits, a_bits=rec.a_bits
-        )
+        if rec.decoded is not None:
+            # prepare()d weight-stationary serving mode (int8-resident),
+            # same dispatch discipline as the binary branch above
+            y = _pm.dorefa_gemm_decoded(
+                codes, rec.decoded, w_bits=rec.w_bits, a_bits=rec.a_bits
+            )
+        else:
+            y = _pm.dorefa_gemm(
+                codes, rec.packed, w_bits=rec.w_bits, a_bits=rec.a_bits
+            )
     elif rec.scheme == "log" and rec.decoded is None:
         y = _sm.shift_gemm(x, rec.packed, fsr=rec.fsr, bits=rec.w_bits)
     else:

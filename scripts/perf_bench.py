@@ -184,6 +184,7 @@ def bench_decode(bench, rows, quick=False):
     )
     v = lm.init({"params": jax.random.PRNGKey(0)}, toks1, train=False)
     packed = infer.pack_model(lm, v, toks1)
+    prepared = infer.prepare(packed)
     md = lm.clone(decode=True)
 
     def apply_fake(variables, t):
@@ -192,7 +193,14 @@ def bench_decode(bench, rows, quick=False):
     def apply_packed(variables, t):
         return packed_apply(md, variables, packed, t, mutable=_MUT)
 
-    for label, ap in (("fake-quant", apply_fake), ("packed", apply_packed)):
+    def apply_prepared(variables, t):
+        return packed_apply(md, variables, prepared, t, mutable=_MUT)
+
+    for label, ap in (
+        ("fake-quant", apply_fake),
+        ("packed", apply_packed),  # 1-bit/2-bit planes resident in HBM
+        ("prepared", apply_prepared),  # decoded int8 resident (engine mode)
+    ):
         prefill = jax.jit(lambda p, t, ap=ap: ap({"params": p}, t))
         tpre, spre = bench(prefill, v["params"], toks1)
         rows.append(
