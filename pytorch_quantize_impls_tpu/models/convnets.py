@@ -22,14 +22,26 @@ class XNORConvNet(fnn.Module):
     classes: int = 10
     widths: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
     quantized: bool = True
+    # False = Binary-Weight-Network mode (XNOR paper §3.1: alpha-scaled
+    # binary weights, real-valued activations) — near-lossless, vs the
+    # full-XNOR mode whose input binarization trades accuracy for speed.
+    binarize_inputs: bool = True
+    # Keep the first conv and the classifier head full-precision (the
+    # standard first/last-layer rule every binarization paper applies —
+    # XNOR-Net §4, BinaryConnect, DoReFa all exempt them; the first conv's
+    # cin is tiny so its binary capacity collapses, e.g. 9 sign weights
+    # for a 3x3x1 filter). Default False to stay the fully-quantized
+    # BASELINE config; the real-data accuracy anchor turns it on.
+    fp32_first_last: bool = False
     # Mixed-precision compute dtype (fp32 masters untouched).
     dtype: Optional[Any] = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
         for i, w in enumerate(self.widths):
-            binarize_input = i > 0  # first conv sees real pixels
-            if self.quantized:
+            # first conv sees real pixels in either mode
+            binarize_input = self.binarize_inputs and i > 0
+            if self.quantized and not (self.fp32_first_last and i == 0):
                 x = qnn.XNORConv(
                     features=w,
                     kernel_size=(3, 3),
@@ -51,7 +63,7 @@ class XNORConvNet(fnn.Module):
             if not self.quantized:
                 x = fnn.relu(x)
         x = x.reshape((x.shape[0], -1))
-        if self.quantized:
+        if self.quantized and not self.fp32_first_last:
             x = qnn.XNORLinear(
                 features=self.classes, dtype=self.dtype, name="head"
             )(x, train=train)

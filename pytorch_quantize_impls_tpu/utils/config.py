@@ -54,6 +54,16 @@ SCHEME_CONFIGS = {
     "binaryconnect_digits": _mk(
         "binaryconnect_digits", w_bits=1, batch_size=64, steps=1600
     ),
+    # REAL-data CONV anchor: Binary-Weight-Network mode XNOR conv (alpha-
+    # scaled binary weights, real activations — XNOR paper §3.1, the
+    # near-lossless mode) on the same 8x8 digits: covers the conv/alpha
+    # training path with real data, not just the MLP. (Full-XNOR with
+    # binarized activations measures Δacc ≈ -29% at this tiny scale —
+    # the paper's accuracy-for-speed trade, not an implementation bug —
+    # so the gated anchor uses BWN; see ACCURACY.md.)
+    "xnor_digits": _mk(
+        "xnor_digits", w_bits=1, a_bits=0, batch_size=64, steps=1600
+    ),
 }
 
 
@@ -79,6 +89,16 @@ def build_model(cfg: RunConfig, *, fp32: bool = False):
                 hidden=512, deterministic=cfg.deterministic, quantized=q
             ),
             (8 * 8,),
+            "digits",
+        )
+    if cfg.config == "xnor_digits":
+        return (
+            models.XNORConvNet(
+                widths=(32, 64), quantized=q,
+                binarize_inputs=cfg.a_bits >= 1,
+                fp32_first_last=True,  # paper-standard first/last rule
+            ),
+            (8, 8, 1),
             "digits",
         )
     if cfg.config == "bnn_lenet":

@@ -22,9 +22,11 @@ ORDER = [
     "dorefa_resnet20",
     "logquant_vgg",
     "binaryconnect_digits",
+    "xnor_digits",
 ]
 
 DATA = {
+    "xnor_digits": "REAL (sklearn optdigits)",
     "binaryconnect_mlp": "synthetic MNIST stand-in",
     "bnn_lenet": "synthetic MNIST stand-in",
     "xnor_cifar": "synthetic CIFAR-10 stand-in",
