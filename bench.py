@@ -43,7 +43,18 @@ def _tpu_alive(timeout_s: float = 120.0) -> bool:
 
 
 if __name__ == "__main__" and not os.environ.get("QTPU_BENCH_NO_PROBE"):
-    if not _tpu_alive():
+    _alive = False
+    for _attempt in range(3):
+        if _tpu_alive():
+            _alive = True
+            break
+        # The axon relay wedges transiently (observed: minutes to ~2h);
+        # short wedges often clear, so wait and re-probe before giving up
+        # the chip for a whole driver round.
+        print(f"# TPU probe {_attempt + 1}/3 failed; waiting 120s",
+              file=sys.stderr)
+        time.sleep(120)
+    if not _alive:
         # Re-exec on CPU so the driver still gets its JSON line. The
         # speedup-vs-fp32 ratio is still meaningful (same machine both
         # sides); absolute TFLOP/s are not TPU numbers — flagged in the

@@ -92,3 +92,40 @@ def test_build_model_all_configs(name):
     twin, _, _ = build_model(cfg, fp32=True)
     out2 = twin.init_with_output({"params": KEY}, x, train=False)[0]
     assert out2.shape == (1, 10)
+
+
+def test_checkpoint_roundtrip_quantized_adam():
+    """8-bit optimizer state (Quantized8 pytrees with a static size field)
+    must survive the orbax save/restore path like fp32 Adam state does."""
+    model = models.BinaryConnectMLP(hidden=16)
+    x = jnp.zeros((2, 784))
+    variables = model.init({"params": KEY}, x)
+    tx = optax.chain(
+        train.quantized_adam(1e-3), train.clip_quantized_weights()
+    )
+    state = train.QuantTrainState.create_for(model, variables, tx)
+    step = train.make_train_step(donate=False)
+    y = jnp.arange(2) % 10
+    state, _ = step(state, (x, y))
+    with tempfile.TemporaryDirectory() as d:
+        mgr = CheckpointManager(d, async_save=False)
+        assert mgr.save(state, force=True)
+        mgr.wait()
+        fresh = train.QuantTrainState.create_for(
+            model, model.init({"params": KEY}, x), tx
+        )
+        restored = mgr.restore(fresh)
+        mgr.close()
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(state.opt_state)[0],
+        jax.tree_util.tree_flatten_with_path(restored.opt_state)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), pa
+    # resumed training continues bit-compatibly
+    s1, _ = step(state, (x, y))
+    s2, _ = step(restored, (x, y))
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s1.params)[0],
+        jax.tree_util.tree_flatten_with_path(s2.params)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), pa
