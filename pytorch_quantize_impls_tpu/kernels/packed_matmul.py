@@ -133,12 +133,14 @@ def dorefa_gemm(
     n_a = 2**a_bits - 1
     inv_scale = 1.0 / (n_w * n_a)
 
-    # v5e-tuned (kernel_bench --kernel dorefa): (256, 512, 4096) -> 354 T/s,
-    # 11.6x fp32; smaller TM than binary since the f=32/bits unpack writes
-    # a larger decoded tile per step.
+    # v5e-tuned (kernel_bench --kernel dorefa, r3 sweep): (1024, 256, 4096)
+    # -> 337 T/s vs 258-324 at the old (256, 512, 4096) — the unpack of
+    # each (k, j) weight tile repeats per M-tile, so a deep TM amortizes
+    # it; TN drops to 256 to keep the decoded tile + x tile + accumulator
+    # inside VMEM ((1024, 512, 4096) overflows).
     if tiles is None:
-        tm = min(common.round_up(m, 128), 256)
-        tn = min(common.round_up(n, 128), 512)
+        tm = min(common.round_up(m, 128), 1024)
+        tn = min(common.round_up(n, 128), 256 if tm >= 1024 else 512)
         tk = min(common.round_up(kp, 128), 4096)
     else:
         tm, tn, tk = tiles
