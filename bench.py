@@ -224,18 +224,71 @@ def main() -> None:
     name = "binary_gemm_tflops_equiv_per_chip_4096"
     if _CPU_FALLBACK:
         name = "binary_gemm_tflops_equiv_CPU_FALLBACK_tpu_unreachable_1024"
-    print(
-        json.dumps(
+    result = {
+        "metric": name,
+        "value": round(value, 2),
+        "unit": "TFLOP-equiv/s",
+        "vs_baseline": round(t_f32 / t_bin, 2),
+        "spread_pct": round(s_bin * 100, 1),
+        "pct_of_int8_peak": round(t_i8 / t_bin * 100, 1),
+    }
+
+    # VERDICT r3 #2: the axon relay wedges for hours at a time, and a wedge
+    # at round end used to leave the round with only a CPU-fallback number.
+    # Persist every successful TPU run to BENCH_TPU_LAST_GOOD.json (committed
+    # to the repo) and, on CPU fallback, emit the last-good TPU record inside
+    # the same JSON line so a hardware-verified value is never lost.
+    last_good_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "BENCH_TPU_LAST_GOOD.json")
+    if not _CPU_FALLBACK:
+        try:
+            commit = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+                 "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            commit = "unknown"
+        record = dict(result)
+        record.update(
             {
-                "metric": name,
-                "value": round(value, 2),
-                "unit": "TFLOP-equiv/s",
-                "vs_baseline": round(t_f32 / t_bin, 2),
-                "spread_pct": round(s_bin * 100, 1),
-                "pct_of_int8_peak": round(t_i8 / t_bin * 100, 1),
+                "timestamp_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "git_commit": commit,
+                "device": str(jax.devices()[0]),
+                "detail_tflops": {
+                    "fp32_highest": round(FLOPS / t_f32 / 1e12, 2),
+                    "bf16_peak": round(FLOPS / t_bf16 / 1e12, 2),
+                    "int8_peak": round(FLOPS / t_i8 / 1e12, 2),
+                    "binary_fused_best": round(FLOPS / t_bin / 1e12, 2),
+                    "binary_decoded": round(FLOPS / t_dec / 1e12, 2),
+                    "dorefa4_packed": round(FLOPS / t_d4 / 1e12, 2),
+                    "log_shift": round(FLOPS / t_log / 1e12, 2),
+                },
             }
         )
-    )
+        try:
+            with open(last_good_path, "w") as f:
+                json.dump(record, f, indent=1)
+                f.write("\n")
+        except OSError as e:  # never let persistence kill the bench line
+            print(f"# could not persist last-good record: {e}", file=sys.stderr)
+    else:
+        try:
+            with open(last_good_path) as f:
+                lg = json.load(f)
+            result["tpu_last_good"] = {
+                "value": lg.get("value"),
+                "vs_baseline": lg.get("vs_baseline"),
+                "pct_of_int8_peak": lg.get("pct_of_int8_peak"),
+                "timestamp_utc": lg.get("timestamp_utc"),
+                "git_commit": lg.get("git_commit"),
+            }
+        except (OSError, ValueError):
+            print("# no BENCH_TPU_LAST_GOOD.json available", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

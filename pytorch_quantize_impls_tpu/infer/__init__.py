@@ -22,4 +22,9 @@ from pytorch_quantize_impls_tpu.infer.packed import (  # noqa: F401
     prepare,
     save_packed,
 )
+from pytorch_quantize_impls_tpu.infer.fused_chain import (  # noqa: F401
+    FusedChain,
+    export_fused_chain,
+    fused_apply,
+)
 from pytorch_quantize_impls_tpu.infer import host_export  # noqa: F401

@@ -33,6 +33,12 @@ class XNORConvNet(fnn.Module):
     # for a 3x3x1 filter). Default False to stay the fully-quantized
     # BASELINE config; the real-data accuracy anchor turns it on.
     fp32_first_last: bool = False
+    # Full-XNOR input scale map K (paper §3.2). The fused int8-chained
+    # serving path (infer/fused_chain.py) requires K off: K depends on the
+    # real-valued input magnitudes, which the int8 code chain never
+    # materializes. (The XNOR paper itself notes K can be dropped at
+    # inference with small loss.)
+    use_input_scale_map: bool = True
     # Mixed-precision compute dtype (fp32 masters untouched).
     dtype: Optional[Any] = None
 
@@ -46,6 +52,7 @@ class XNORConvNet(fnn.Module):
                     features=w,
                     kernel_size=(3, 3),
                     binarize_input=binarize_input,
+                    use_input_scale_map=self.use_input_scale_map,
                     use_bias=False,
                     dtype=self.dtype,
                     name=f"conv{i}",
@@ -60,7 +67,13 @@ class XNORConvNet(fnn.Module):
             )(x)
             if i % 2 == 1:
                 x = fnn.max_pool(x, (2, 2), strides=(2, 2))
-            if not self.quantized:
+            # Nonlinearity rule: in full-XNOR mode the NEXT layer's input
+            # binarization (sign) IS the nonlinearity — inserting relu first
+            # would make every binarized activation +1. In BWN mode
+            # (binarize_inputs=False) and in the fp32 twin, conv+BN stages
+            # would otherwise compose linearly, so relu is required
+            # (reference BWN topologies keep it — ADVICE r3).
+            if not (self.quantized and self.binarize_inputs):
                 x = fnn.relu(x)
         x = x.reshape((x.shape[0], -1))
         if self.quantized and not self.fp32_first_last:

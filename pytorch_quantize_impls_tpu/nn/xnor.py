@@ -32,8 +32,10 @@ class XNORLinear(nn.Module):
             features=self.features,
             # sign weights + α on the OUTPUT (reference §3.4 order): keeps
             # the matmul integer-exact == bit-identical to the packed kernel
-            # epilogue (see QuantDense.out_scale).
-            weight_quant=ops.safe_sign,
+            # epilogue (see QuantDense.out_scale). The sign carries the
+            # clipped STE so master kernels can flip signs during training
+            # (α's mean(|w|) gradient alone is parallel to sign(w)).
+            weight_quant=ops.sign_ste_clip,
             out_scale=lambda w: jnp.mean(jnp.abs(w), axis=0),
             input_quant=ops.binary_tanh if self.binarize_input else None,
             use_bias=self.use_bias,
@@ -70,8 +72,9 @@ class XNORConv(nn.Module):
             strides=self.strides,
             padding=self.padding,
             # HWIO kernel: out-channel is the last axis. Sign weights + α on
-            # the OUTPUT (reference §3.4 order; see QuantDense.out_scale).
-            weight_quant=ops.safe_sign,
+            # the OUTPUT (reference §3.4 order; see QuantDense.out_scale);
+            # clipped STE on the sign so kernel signs remain trainable.
+            weight_quant=ops.sign_ste_clip,
             out_scale=lambda w: jnp.mean(jnp.abs(w), axis=(0, 1, 2)),
             input_quant=ops.binary_tanh if self.binarize_input else None,
             use_bias=self.use_bias,

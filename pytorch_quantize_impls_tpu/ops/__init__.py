@@ -44,6 +44,7 @@ from pytorch_quantize_impls_tpu.ops.pact import (  # noqa: F401
     pact_alpha_penalty,
 )
 from pytorch_quantize_impls_tpu.ops.xnor import (  # noqa: F401
+    sign_ste_clip,
     xnor_alpha,
     xnor_input_scale_map,
     xnor_quantize,

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 from pytorch_quantize_impls_tpu.ops.common import Array, safe_sign, ste, clip_mask
 
 
-_sign_ste_clip = ste(safe_sign, clip_mask(1.0))
+#: Sign binarization with the clipped STE (``g·1[|w|≤1]``). Public: the XNOR
+#: layers use this for ``weight_quant`` so master kernels receive gradient
+#: *through* the binarization (not just via α's mean(|w|) path, which is
+#: parallel to sign(w) and can never flip a weight's sign).
+sign_ste_clip = ste(safe_sign, clip_mask(1.0))
+_sign_ste_clip = sign_ste_clip  # backward-compat internal alias
 
 
 def xnor_alpha(w: Array, channel_axis: int = -1) -> Array:

@@ -160,8 +160,12 @@ def quantized_adam(
         count = state.count + 1
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        # optax convention: schedules are evaluated at the PRE-increment
+        # count (first update uses schedule(0), last uses schedule(steps-1)),
+        # so e.g. cosine_decay_schedule never runs a step at lr=0 and
+        # trajectories match optax.adam exactly.
         lr = (
-            learning_rate(count)
+            learning_rate(state.count)
             if callable(learning_rate)
             else learning_rate
         )

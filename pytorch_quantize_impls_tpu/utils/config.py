@@ -43,7 +43,11 @@ def _mk(config, **kw):
 
 # BASELINE.json:6-12 evaluation configs
 SCHEME_CONFIGS = {
-    "binaryconnect_mlp": _mk("binaryconnect_mlp", w_bits=1),
+    # steps=6000: on the hardened (discriminative) synthetic task the binary
+    # MLP needs the longer cosine anneal to close the STE gap — measured
+    # (calibrate_synthetic, r4): 2000 steps Δ −2.4%, 6000 steps Δ −0.47%.
+    # The fp32 twin trains the same budget, so the comparison stays fair.
+    "binaryconnect_mlp": _mk("binaryconnect_mlp", w_bits=1, steps=6000),
     "bnn_lenet": _mk("bnn_lenet", w_bits=1, a_bits=1),
     "xnor_cifar": _mk("xnor_cifar", w_bits=1, a_bits=1),
     "dorefa_resnet20": _mk("dorefa_resnet20", w_bits=4, a_bits=4),

@@ -130,8 +130,13 @@ def bench_models(bench, rows, quick=False):
     from pytorch_quantize_impls_tpu import infer, models
 
     batch = 64 if quick else 256
+    # xnor_convnet runs with the K input-scale map off for all variants so
+    # the fused int8 chain (which requires K off — infer/fused_chain.py) is
+    # an apples-to-apples fourth row; the fp32 twin never had K anyway.
     zoo = [
-        ("xnor_convnet", models.XNORConvNet(), models.XNORConvNet(quantized=False)),
+        ("xnor_convnet",
+         models.XNORConvNet(use_input_scale_map=False),
+         models.XNORConvNet(quantized=False)),
         ("dorefa_resnet20",
          models.DorefaResNet20(w_bits=4, a_bits=4),
          models.DorefaResNet20(quantized=False)),
@@ -157,6 +162,15 @@ def bench_models(bench, rows, quick=False):
         print(f"# {name} b{batch}: fp32 {batch/tf:,.0f} img/s | "
               f"fake-quant {batch/tq:,.0f} | packed {batch/tp:,.0f} "
               f"({tf/tp:.2f}x fp32)", file=sys.stderr)
+        if name == "xnor_convnet":
+            # fused int8 chain: BN+binarize folded into the conv epilogue,
+            # activations cross stages as ±1 int8 (VERDICT r3 #3)
+            chain = infer.export_fused_chain(qm, vq)
+            fz = jax.jit(lambda c, a: infer.fused_apply(c, a))
+            tz, sz = bench(fz, chain, x)
+            rows.append((name, "fused int8 chain", batch / tz, tf / tz, sz))
+            print(f"# {name} fused: {batch/tz:,.0f} img/s "
+                  f"({tf/tz:.2f}x fp32)", file=sys.stderr)
 
 
 def bench_decode(bench, rows, quick=False):

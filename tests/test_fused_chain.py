@@ -1,0 +1,98 @@
+"""Parity tests for the fused int8-chained serving path (VERDICT r3 #3).
+
+The fused chain folds BN + next-layer binarization into a per-channel
+threshold on the raw conv accumulator and carries activations as ±1 int8.
+Gate: full-model logits match the fake-quant model (the behavioral spec —
+SURVEY.md §3.5 seam rule) to fp tolerance; the int8-input stages are exact
+integer arithmetic, so any disagreement localizes to the (measure-zero)
+threshold boundary or the final affine's f32 expression order.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_quantize_impls_tpu import infer, models
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _trained_variables(model, x, steps=0):
+    """Init + (optionally) perturb batch stats so BN affine is nontrivial."""
+    v = model.init({"params": KEY}, x[:1], train=False)
+    # nontrivial BN: random running stats and scale/bias (incl. negative γ)
+    def jitter(path, leaf):
+        name = jax.tree_util.keystr(path)
+        k = jax.random.fold_in(KEY, abs(hash(name)) % (2**31))
+        if "batch_stats" in name and "mean" in name:
+            return jax.random.normal(k, leaf.shape) * 0.5
+        if "batch_stats" in name and "var" in name:
+            return jnp.abs(jax.random.normal(k, leaf.shape)) * 2 + 0.1
+        if "/bn" in name and "scale" in name:
+            return jax.random.normal(k, leaf.shape)  # some γ < 0
+        if "/bn" in name and "bias" in name:
+            return jax.random.normal(k, leaf.shape) * 0.3
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(jitter, v)
+
+
+@pytest.mark.parametrize("fp32_first_last", [False, True])
+def test_fused_chain_matches_fake_quant(fp32_first_last):
+    model = models.XNORConvNet(
+        widths=(16, 16, 32, 32),
+        binarize_inputs=True,
+        use_input_scale_map=False,
+        fp32_first_last=fp32_first_last,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 16, 16, 3))
+    v = _trained_variables(model, x)
+    ref = model.apply(v, x, train=False)
+    chain = infer.export_fused_chain(model, v, first_dtype=jnp.float32)
+    got = infer.fused_apply(chain, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_chain_hidden_activations_are_int8():
+    model = models.XNORConvNet(
+        widths=(16, 16), binarize_inputs=True, use_input_scale_map=False
+    )
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 3))
+    v = _trained_variables(model, x)
+    chain = infer.export_fused_chain(model, v)
+    # hidden stage weights are int8 code planes; first stage is fp compute
+    assert chain.stages[0].w.dtype != jnp.int8 or not chain.stages[0].in_codes
+    assert chain.stages[1].w.dtype == jnp.int8 and chain.stages[1].in_codes
+
+
+def test_fused_chain_requires_k_map_off():
+    model = models.XNORConvNet(widths=(8, 8), binarize_inputs=True)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 3))
+    v = model.init({"params": KEY}, x, train=False)
+    with pytest.raises(ValueError, match="use_input_scale_map"):
+        infer.export_fused_chain(model, v)
+
+
+def test_fused_chain_pool_commutes_with_negative_gamma():
+    """pool(sign(BN(y))) == sign(pool(BN(y))) even when γ < 0 — the flip is
+    inside the per-element code, so max over codes is still correct."""
+    model = models.XNORConvNet(
+        widths=(8, 8, 8), binarize_inputs=True, use_input_scale_map=False
+    )
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 1))
+    v = _trained_variables(model, x)
+    # force every γ in bn1 negative (stage 1 has pool=True)
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    import flax
+
+    v = flax.core.unfreeze(v) if hasattr(flax.core, "unfreeze") else dict(v)
+    v["params"]["bn1"]["scale"] = -jnp.abs(v["params"]["bn1"]["scale"]) - 0.1
+    ref = model.apply(v, x, train=False)
+    chain = infer.export_fused_chain(model, v, first_dtype=jnp.float32)
+    got = infer.fused_apply(chain, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

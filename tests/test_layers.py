@@ -81,6 +81,34 @@ def test_xnor_conv_full_mode_shapes():
     assert y.shape == (2, 8, 8, 4)
 
 
+def test_xnor_layers_kernel_grad_can_flip_signs():
+    """ADVICE r3 (high): the XNOR layers must carry the STE through the sign
+    binarization, not only α's mean(|w|) path. α's per-element gradient is
+    exactly along sign(w); if that were the only path, kernel signs could
+    never flip and XNOR training dynamics break. Assert the kernel gradient
+    has a nonzero component orthogonal to sign(w)."""
+    for layer, x in [
+        (nn.XNORLinear(features=8, use_bias=False), X),
+        (nn.XNORConv(features=4, use_bias=False), IMG),
+    ]:
+        params = layer.init(KEY, x)
+
+        def loss(p):
+            y = layer.apply(p, x)
+            # asymmetric target so the cotangent is not sign-aligned
+            return jnp.sum(y * jnp.arange(y.size).reshape(y.shape))
+
+        g = _kernel(jax.grad(loss)(params))
+        w = _kernel(params)
+        s = ops.safe_sign(w).ravel()
+        gf = g.ravel()
+        # remove the sign-parallel component (α path); remainder = STE path
+        ortho = gf - (gf @ s) / (s @ s) * s
+        assert float(jnp.linalg.norm(ortho)) > 1e-3, (
+            "XNOR kernel gradient is purely along sign(w): STE path missing"
+        )
+
+
 def test_dorefa_linear_matches_manual_and_bitwight_alias():
     layer = nn.LinearDorefa(features=8, bits=4, use_bias=False)
     params = layer.init(KEY, X)
