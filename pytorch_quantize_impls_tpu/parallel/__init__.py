@@ -35,6 +35,14 @@ from pytorch_quantize_impls_tpu.parallel.ulysses import (  # noqa: F401
     make_ulysses_attention,
     ulysses_attention_shard,
 )
+from pytorch_quantize_impls_tpu.parallel.collective_matmul import (  # noqa: F401
+    allgather_matmul,
+    allgather_matmul_b1,
+    allgather_matmul_q8,
+    matmul_reducescatter,
+    shard_packed_rows,
+    tp_binary_dense,
+)
 from pytorch_quantize_impls_tpu.parallel.quantized_collectives import (  # noqa: F401
     comm_bytes_saved,
     make_quantized_dp_train_step,
