@@ -69,6 +69,53 @@ def make_bench(iters: int, repeats: int):
     return bench
 
 
+def make_chained_bench(repeats: int, target_s: float = 0.5, max_n: int = 20000):
+    """Differential timing with the iteration chain ON-DEVICE.
+
+    VERDICT r3 #4: sub-millisecond model forwards measured with a
+    Python-dispatched loop carried ±73-156% spread — per-iteration dispatch
+    jitter through the relay swamps the signal. Here the N iterations run
+    inside ONE device computation (``lax.fori_loop`` whose carry feeds a
+    negligible-but-real data dependency back into the input, so XLA can
+    neither CSE nor reorder the iterations), leaving exactly one relay
+    round-trip per measurement — which the T(2N)−T(N) differential cancels.
+
+    ``fn(*args)`` must take the perturbable array as its FIRST argument and
+    may return any pytree.
+    """
+
+    def bench(fn, x, *rest):
+        eps = jnp.asarray(1e-30, jnp.float32)  # runtime value: no DCE
+
+        @jax.jit
+        def chain(x, n, eps):
+            def body(_, c):
+                y = fn(c, *rest)
+                leaf = jax.tree_util.tree_leaves(y)[0]
+                bump = (eps * jnp.sum(leaf.astype(jnp.float32))).astype(c.dtype)
+                return c + bump  # dependency: iteration i+1 reads i's output
+
+            return jax.lax.fori_loop(0, n, body, x)
+
+        def run(n):
+            t0 = time.perf_counter()
+            _force(chain(x, jnp.asarray(n, jnp.int32), eps))
+            return time.perf_counter() - t0
+
+        _force(chain(x, jnp.asarray(2, jnp.int32), eps))  # compile + settle
+        est = max((run(16) - run(8)) / 8, 1e-9)  # pilot
+        n = min(max(8, int(target_s / est)), max_n)
+        ests = []
+        for _ in range(repeats):
+            t_n, t_2n = run(n), run(2 * n)
+            ests.append(max((t_2n - t_n) / n, 1e-9))
+        ests.sort()
+        med = ests[len(ests) // 2]
+        return med, (ests[-1] - ests[0]) / med
+
+    return bench
+
+
 def bench_conv(bench, rows, quick=False):
     """Packed conv kernels vs fp32 conv at the CIFAR models' hot shapes."""
     from pytorch_quantize_impls_tpu.kernels.conv import (
@@ -125,10 +172,16 @@ def bench_conv(bench, rows, quick=False):
               file=sys.stderr)
 
 
-def bench_models(bench, rows, quick=False):
-    """Full-model inference images/s: packed vs fake-quant vs fp32 twin."""
+def bench_models(rows, quick=False, repeats=5):
+    """Full-model inference images/s: packed vs fake-quant vs fp32 twin.
+
+    Timing: on-device chained differential (``make_chained_bench``) — the
+    sub-ms forwards at b256 need the iteration loop inside one device
+    computation to escape the relay's per-dispatch jitter (VERDICT r3 #4).
+    """
     from pytorch_quantize_impls_tpu import infer, models
 
+    cbench = make_chained_bench(repeats)
     batch = 64 if quick else 256
     # xnor_convnet runs with the K input-scale map off for all variants so
     # the fused int8 chain (which requires K off — infer/fused_chain.py) is
@@ -148,14 +201,15 @@ def bench_models(bench, rows, quick=False):
         vf = fm.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
         packed = infer.prepare(infer.pack_model(qm, vq, x[:1]))
 
-        fq = jax.jit(lambda v, a, m=qm: m.apply(v, a, train=False))
-        ff = jax.jit(lambda v, a, m=fm: m.apply(v, a, train=False))
-        fp = jax.jit(
-            lambda v, a, m=qm, p=packed: infer.packed_apply(m, v, p, a)
-        )
-        tq, sq = bench(fq, vq, x)
-        tf, sf = bench(ff, vf, x)
-        tp, sp = bench(fp, vq, x)
+        # x is the FIRST arg (the chained bench perturbs it between iters)
+        fq = lambda a, m=qm, v=vq: m.apply(v, a, train=False)  # noqa: E731
+        ff = lambda a, m=fm, v=vf: m.apply(v, a, train=False)  # noqa: E731
+        fp = (
+            lambda a, m=qm, v=vq, p=packed: infer.packed_apply(m, v, p, a)
+        )  # noqa: E731
+        tq, sq = cbench(fq, x)
+        tf, sf = cbench(ff, x)
+        tp, sp = cbench(fp, x)
         rows.append((name, "fp32 twin", batch / tf, 1.0, sf))
         rows.append((name, "fake-quant", batch / tq, tf / tq, sq))
         rows.append((name, "packed", batch / tp, tf / tp, sp))
@@ -166,18 +220,18 @@ def bench_models(bench, rows, quick=False):
             # fused int8 chain: BN+binarize folded into the conv epilogue,
             # activations cross stages as ±1 int8 (VERDICT r3 #3)
             chain = infer.export_fused_chain(qm, vq)
-            fz = jax.jit(lambda c, a: infer.fused_apply(c, a))
-            tz, sz = bench(fz, chain, x)
+            fz = lambda a, c=chain: infer.fused_apply(c, a)  # noqa: E731
+            tz, sz = cbench(fz, x)
             rows.append((name, "fused int8 chain", batch / tz, tf / tz, sz))
             print(f"# {name} fused: {batch/tz:,.0f} img/s "
                   f"({tf/tz:.2f}x fp32)", file=sys.stderr)
 
 
-def bench_decode(bench, rows, quick=False):
+def bench_decode(rows, quick=False):
     """Serving-size transformer: prefill latency + steady decode tokens/s."""
     from pytorch_quantize_impls_tpu import infer
     from pytorch_quantize_impls_tpu.models.transformer import QuantTransformerLM
-    from pytorch_quantize_impls_tpu.serve.generate import _MUT, _sample
+    from pytorch_quantize_impls_tpu.serve.generate import _MUT
     from pytorch_quantize_impls_tpu.infer.packed import packed_apply
 
     if quick:
@@ -210,19 +264,24 @@ def bench_decode(bench, rows, quick=False):
     def apply_prepared(variables, t):
         return packed_apply(md, variables, prepared, t, mutable=_MUT)
 
+    # Headroom for the on-device decode chain: 2N steps must fit the cache.
+    chain_cap = (lm.max_len - prompt_len - 8) // 2
+
     for label, ap in (
         ("fake-quant", apply_fake),
         ("packed", apply_packed),  # 1-bit/2-bit planes resident in HBM
         ("prepared", apply_prepared),  # decoded int8 resident (engine mode)
     ):
-        prefill = jax.jit(lambda p, t, ap=ap: ap({"params": p}, t))
-        tpre, spre = bench(prefill, v["params"], toks1)
+        cb = make_chained_bench(repeats=5)
+        tpre, spre = cb(
+            lambda t, ap=ap, p=v["params"]: ap({"params": p}, t), toks1
+        )
         rows.append(
             ("decode", f"{label} prefill {prompt_len} tok (ms)",
              tpre * 1e3, 0.0, spre)
         )
-        print(f"# decode {label}: prefill({prompt_len}) {tpre*1e3:.2f} ms",
-              file=sys.stderr)
+        print(f"# decode {label}: prefill({prompt_len}) {tpre*1e3:.2f} ms "
+              f"(±{spre*100:.0f}%)", file=sys.stderr)
         for b in batches:
             tb = jnp.asarray(
                 rng.integers(0, lm.vocab, (b, prompt_len)), jnp.int32
@@ -231,29 +290,51 @@ def bench_decode(bench, rows, quick=False):
                 v["params"], tb
             )
             cache = st["cache"]
-
-            @jax.jit
-            def step(p, c, t, ap=ap):
-                logits, st2 = ap({"params": p, "cache": c}, t[:, None])
-                return (
-                    _sample(logits[:, 0], 0.0, jax.random.PRNGKey(0)),
-                    st2["cache"],
-                )
-
             cur = jnp.zeros((b,), jnp.int32)
 
-            def one(p, c, t):
-                nxt, c2 = step(p, c, t)
-                return c2  # feed cache forward; _force touches a leaf
+            # On-device autoregressive chain (VERDICT r3 #4): n dependent
+            # decode steps inside ONE device computation — token i+1 is
+            # argmax of step i's logits, the cache advances in-place — so
+            # the relay constant appears once per measurement and cancels
+            # in the T(2N)−T(N) differential. The b1 rows measured with a
+            # per-step Python loop had no stable ordering (0.43x/1.23x/
+            # 0.72x across r3 runs); this has one.
+            @jax.jit
+            def chain(p, c, t, n, ap=ap):
+                def body(_, carry):
+                    c, t = carry
+                    logits, st2 = ap({"params": p, "cache": c}, t[:, None])
+                    nxt = jnp.argmax(
+                        logits[:, 0].astype(jnp.float32), -1
+                    ).astype(jnp.int32)
+                    return (st2["cache"], nxt)
 
-            # steady state: time a single-token step at fixed cursor region
-            tstep, sstep = bench(one, v["params"], cache, cur)
+                c2, t2 = jax.lax.fori_loop(0, n, body, (c, t))
+                return t2
+
+            def run(n):
+                t0 = time.perf_counter()
+                _force(chain(v["params"], cache, cur,
+                             jnp.asarray(n, jnp.int32)))
+                return time.perf_counter() - t0
+
+            _force(chain(v["params"], cache, cur, jnp.asarray(2, jnp.int32)))
+            est = max((run(16) - run(8)) / 8, 1e-9)
+            n = min(max(8, int(0.5 / est)), chain_cap)
+            ests = []
+            for _ in range(5):
+                t_n, t_2n = run(n), run(2 * n)
+                ests.append(max((t_2n - t_n) / n, 1e-9))
+            ests.sort()
+            tstep = ests[len(ests) // 2]
+            sstep = (ests[-1] - ests[0]) / tstep
             rows.append(
                 ("decode", f"{label} decode b{b} (tok/s)",
                  b / tstep, 0.0, sstep)
             )
             print(f"# decode {label} b{b}: {tstep*1e3:.2f} ms/step = "
-                  f"{b/tstep:,.0f} tok/s", file=sys.stderr)
+                  f"{b/tstep:,.0f} tok/s (±{sstep*100:.0f}%, chain {n})",
+                  file=sys.stderr)
 
 
 def main() -> int:
@@ -275,9 +356,9 @@ def main() -> int:
     if "conv" in a.sections:
         bench_conv(bench, rows, a.quick)
     if "models" in a.sections:
-        bench_models(bench, rows, a.quick)
+        bench_models(rows, a.quick, repeats=a.repeats)
     if "decode" in a.sections:
-        bench_decode(bench, rows, a.quick)
+        bench_decode(rows, a.quick)
 
     lines = [
         f"# PERF — model-level benchmarks ({dev.platform}: {dev})",
