@@ -94,22 +94,36 @@ def _calibrate_roundtrip() -> float:
 
 def _bench_samples(fn, *args, repeats: int = 5) -> list:
     """Per-repeat seconds/iteration (device time), differential:
-    (T(2N)-T(N))/N.
+    (T(2N)-T(N))/N — with the N-iteration chain ON-DEVICE.
 
     The relay adds a large noisy constant per synchronization; it cancels
     in the difference (separately-calibrated subtraction does not work).
-    Returns ``repeats`` independent estimates so callers can report median
-    AND spread (VERDICT r2 #6: a single estimate hid a 5% run-to-run drift)."""
-    _force(fn(*args))  # compile + settle
+    r4: the chain moved from a Python dispatch loop into one
+    ``lax.fori_loop`` whose carry perturbs the first operand with a
+    runtime-epsilon data dependency (so XLA can neither CSE nor reorder
+    iterations) — per-dispatch relay jitter was the residual ±30-110%
+    spread on some sub-ms kernels. Returns ``repeats`` independent
+    estimates so callers report median AND spread."""
+    eps = jnp.asarray(1e-30, jnp.float32)
+    x0, rest = args[0], args[1:]
+
+    @jax.jit
+    def chain(x, n, eps):
+        def body(_, c):
+            y = fn(c, *rest)
+            bump = (eps * jnp.sum(y[:1, :1].astype(jnp.float32))).astype(
+                c.dtype
+            )
+            return c + bump  # iteration i+1 depends on iteration i's output
+
+        return jax.lax.fori_loop(0, n, body, x)
 
     def run(n: int) -> float:
         t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = fn(*args)  # drop the previous ref: don't hold n x 64MB
-        _force(o)
+        _force(chain(x0, jnp.asarray(n, jnp.int32), eps))
         return time.perf_counter() - t0
 
+    _force(chain(x0, jnp.asarray(2, jnp.int32), eps))  # compile + settle
     n = ITERS
     est = max((run(2 * n) - run(n)) / n, 1e-9)  # pilot
     # Auto-scale the differential window to ~0.25 s of device time: fixed

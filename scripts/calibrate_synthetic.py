@@ -34,6 +34,7 @@ def main() -> int:
     p.add_argument("--part-sparsity", type=int, default=None)
     p.add_argument("--max-shift", type=int, default=None)
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--quant", action="store_true",
                    help="also train the quantized twin at each setting")
@@ -42,6 +43,8 @@ def main() -> int:
     from scripts.accuracy_sweep import run_one
 
     cfg = RunConfig(**SCHEME_CONFIGS[a.config])
+    if a.width is not None:
+        cfg = __import__("dataclasses").replace(cfg, width=a.width)
     steps = a.steps if a.steps is not None else cfg.steps
     target = (
         data.datasets.SYNTH_MNIST_DIFFICULTY
