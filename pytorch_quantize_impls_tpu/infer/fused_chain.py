@@ -184,6 +184,155 @@ def _max_pool(x):
     )
 
 
+# --- DoReFa ResNet-20 fused chain ------------------------------------------
+#
+# The same boundary-folding idea for k-bit DoReFa (BASELINE config 4):
+# between convs, activations are a_bits-level codes c ∈ [0, n_a], and the
+# whole BN → relu → dorefa_activation boundary collapses to one per-channel
+# affine + round + clip on the raw int32 conv accumulator:
+#
+#   aq   = round(clip(relu(BN(y/(n_w·n_a))), 0, 1) · n_a) / n_a
+#   code = clip(round(a_c·y + b_c), 0, n_a)          (a, b fold BN, scales, n_a)
+#
+# (relu + the [0,1] clip fold into the final [0, n_a] clip; round is
+# monotone, so round∘clip == clip∘round on the grid.) Unlike the binary
+# threshold case no monotonicity trick is needed — the affine is computed
+# directly, so negative-γ BN channels need no special handling. Residual
+# junctions are the only place real values materialize: one f32 map per
+# block instead of three per layer.
+
+
+@struct.dataclass
+class FusedResBlock:
+    w1: jax.Array  # int8 centered codes (2c - n_w), HWIO
+    a1: jax.Array  # codes epilogue: code = clip(round(a1*y + b1), 0, n_a)
+    b1: jax.Array
+    w2: jax.Array  # int8 centered codes, HWIO
+    a2: jax.Array  # real epilogue: y_real = a2*y + b2
+    b2: jax.Array
+    wp: Optional[jax.Array] = None  # fp 1x1 proj kernel (1/n_a folded in)
+    ap: Optional[jax.Array] = None  # proj BN affine
+    bp: Optional[jax.Array] = None
+    strides: Tuple[int, int] = struct.field(pytree_node=False, default=(1, 1))
+
+
+@struct.dataclass
+class FusedResNet:
+    stem_w: jax.Array  # fp HWIO
+    stem_a: jax.Array  # codes epilogue after stem (BN+relu+actq folded)
+    stem_b: jax.Array
+    blocks: Tuple[FusedResBlock, ...]
+    head_w: jax.Array
+    head_b: jax.Array
+    inv_na: jax.Array  # 1 / n_a  (codes -> real)
+    n_a: int = struct.field(pytree_node=False, default=15)
+
+
+def export_fused_resnet20(model, variables, *, first_dtype=jnp.bfloat16):
+    """Build a :class:`FusedResNet` from a trained ``DorefaResNet20``.
+
+    Requires ``quantized=True`` and ``a_bits >= 1``. ``first_dtype``: compute
+    dtype for the fp stem/proj convs (bf16 on TPU; f32 for CPU parity tests).
+    """
+    from pytorch_quantize_impls_tpu.ops.dorefa import dorefa_weight
+
+    if not (model.quantized and model.a_bits):
+        raise ValueError("fused resnet needs quantized=True and a_bits >= 1")
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    n_w = 2 ** model.w_bits - 1
+    n_a = 2 ** model.a_bits - 1
+    inv_wa = 1.0 / (n_w * n_a)
+
+    def centered_codes(kernel):
+        wq = dorefa_weight(kernel.astype(jnp.float32), model.w_bits)
+        return jnp.round(wq * n_w).astype(jnp.int8)  # 2c - n_w, exact
+
+    def bn(name_p, name_s):
+        return _bn_affine(params[name_p], stats[name_s])
+
+    g, b, mu, s = bn("bn_stem", "bn_stem")
+    stem_a = (g / s) * n_a
+    stem_b = (b - g * mu / s) * n_a
+    blocks = []
+    for stage, (f, s0) in enumerate([(1, 1), (2, 2), (4, 2)]):
+        for bi in range(3):
+            name = f"stage{stage}_block{bi}"
+            bp_ = params[name]
+            bs_ = stats[name]
+            stride = s0 if bi == 0 else 1
+            g1, b1_, m1, s1 = _bn_affine(bp_["bn1"], bs_["bn1"])
+            g2, b2_, m2, s2 = _bn_affine(bp_["bn2"], bs_["bn2"])
+            w1 = centered_codes(bp_["conv1"]["conv"]["kernel"])
+            w2 = centered_codes(bp_["conv2"]["conv"]["kernel"])
+            # conv1 epilogue -> codes: a = γ/(s·n_w·n_a)·n_a, b = (β−γμ/s)·n_a
+            a1 = (g1 / s1) * inv_wa * n_a
+            b1v = (b1_ - g1 * m1 / s1) * n_a
+            # conv2 epilogue -> real: y_real = BN2(y/(n_w·n_a))
+            a2 = (g2 / s2) * inv_wa
+            b2v = b2_ - g2 * m2 / s2
+            wp = ap = bpv = None
+            if "proj" in bp_:
+                gp, bpb, mp, sp = _bn_affine(bp_["bn_proj"], bs_["bn_proj"])
+                # proj consumes residual codes: fold codes->real (1/n_a)
+                # into the 1x1 kernel; BN affine goes to (ap, bp)
+                wp = (
+                    bp_["proj"]["kernel"].astype(jnp.float32) / n_a
+                ).astype(first_dtype)
+                ap = gp / sp
+                bpv = bpb - gp * mp / sp
+            blocks.append(
+                FusedResBlock(
+                    w1=w1, a1=a1, b1=b1v, w2=w2, a2=a2, b2=b2v,
+                    wp=wp, ap=ap, bp=bpv, strides=(stride, stride),
+                )
+            )
+    return FusedResNet(
+        stem_w=params["stem"]["kernel"].astype(first_dtype),
+        stem_a=stem_a, stem_b=stem_b,
+        blocks=tuple(blocks),
+        head_w=params["head"]["kernel"].astype(jnp.float32),
+        head_b=params["head"]["bias"].astype(jnp.float32),
+        inv_na=jnp.asarray(1.0 / n_a, jnp.float32),
+        n_a=n_a,
+    )
+
+
+def _quant_codes(h, n_a):
+    return jnp.clip(jnp.round(h), 0, n_a).astype(jnp.int8)
+
+
+def fused_resnet_apply(net: FusedResNet, x: jax.Array) -> jax.Array:
+    """Forward through the fused DoReFa ResNet. ``x``: NHWC real images."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(net.stem_w.dtype), net.stem_w, (1, 1), "SAME",
+        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+    )
+    c = _quant_codes(y * net.stem_a + net.stem_b, net.n_a)
+    for blk in net.blocks:
+        y1 = jax.lax.conv_general_dilated(
+            c, blk.w1, blk.strides, "SAME", dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        c1 = _quant_codes(y1 * blk.a1 + blk.b1, net.n_a)
+        y2 = jax.lax.conv_general_dilated(
+            c1, blk.w2, (1, 1), "SAME", dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        y2r = y2 * blk.a2 + blk.b2
+        if blk.wp is not None:
+            pr = jax.lax.conv_general_dilated(
+                c.astype(blk.wp.dtype), blk.wp, blk.strides, "SAME",
+                dimension_numbers=_DN, preferred_element_type=jnp.float32,
+            )
+            resr = pr * blk.ap + blk.bp
+        else:
+            resr = c.astype(jnp.float32) * net.inv_na
+        c = _quant_codes((y2r + resr) * float(net.n_a), net.n_a)
+    pooled = jnp.mean(c.astype(jnp.float32), axis=(1, 2)) * net.inv_na
+    return pooled @ net.head_w + net.head_b
+
+
 def fused_apply(chain: FusedChain, x: jax.Array) -> jax.Array:
     """Forward through the fused chain. ``x``: NHWC real images."""
     h = x

@@ -87,8 +87,12 @@ def make_chained_bench(repeats: int, target_s: float = 0.5, max_n: int = 20000):
     def bench(fn, x, *rest):
         eps = jnp.asarray(1e-30, jnp.float32)  # runtime value: no DCE
 
+        # rest (typically model params) must travel as jit ARGUMENTS, not
+        # closure constants: inlined weight constants blow up the serialized
+        # HLO the relay uploads per compile (observed: HTTP 413 on an
+        # 8-layer d1024 LM).
         @jax.jit
-        def chain(x, n, eps):
+        def chain(x, n, eps, *rest):
             def body(_, c):
                 y = fn(c, *rest)
                 leaf = jax.tree_util.tree_leaves(y)[0]
@@ -99,10 +103,10 @@ def make_chained_bench(repeats: int, target_s: float = 0.5, max_n: int = 20000):
 
         def run(n):
             t0 = time.perf_counter()
-            _force(chain(x, jnp.asarray(n, jnp.int32), eps))
+            _force(chain(x, jnp.asarray(n, jnp.int32), eps, *rest))
             return time.perf_counter() - t0
 
-        _force(chain(x, jnp.asarray(2, jnp.int32), eps))  # compile + settle
+        _force(chain(x, jnp.asarray(2, jnp.int32), eps, *rest))  # compile
         est = max((run(16) - run(8)) / 8, 1e-9)  # pilot
         n = min(max(8, int(target_s / est)), max_n)
         ests = []
@@ -201,15 +205,16 @@ def bench_models(rows, quick=False, repeats=5):
         vf = fm.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
         packed = infer.prepare(infer.pack_model(qm, vq, x[:1]))
 
-        # x is the FIRST arg (the chained bench perturbs it between iters)
-        fq = lambda a, m=qm, v=vq: m.apply(v, a, train=False)  # noqa: E731
-        ff = lambda a, m=fm, v=vf: m.apply(v, a, train=False)  # noqa: E731
+        # x is the FIRST arg (the chained bench perturbs it between iters);
+        # variables/packed buffers ride as jit args (not closure constants)
+        fq = lambda a, v, m=qm: m.apply(v, a, train=False)  # noqa: E731
+        ff = lambda a, v, m=fm: m.apply(v, a, train=False)  # noqa: E731
         fp = (
-            lambda a, m=qm, v=vq, p=packed: infer.packed_apply(m, v, p, a)
+            lambda a, v, p, m=qm: infer.packed_apply(m, v, p, a)
         )  # noqa: E731
-        tq, sq = cbench(fq, x)
-        tf, sf = cbench(ff, x)
-        tp, sp = cbench(fp, x)
+        tq, sq = cbench(fq, x, vq)
+        tf, sf = cbench(ff, x, vf)
+        tp, sp = cbench(fp, x, vq, packed)
         rows.append((name, "fp32 twin", batch / tf, 1.0, sf))
         rows.append((name, "fake-quant", batch / tq, tf / tq, sq))
         rows.append((name, "packed", batch / tp, tf / tp, sp))
@@ -220,11 +225,21 @@ def bench_models(rows, quick=False, repeats=5):
             # fused int8 chain: BN+binarize folded into the conv epilogue,
             # activations cross stages as ±1 int8 (VERDICT r3 #3)
             chain = infer.export_fused_chain(qm, vq)
-            fz = lambda a, c=chain: infer.fused_apply(c, a)  # noqa: E731
-            tz, sz = cbench(fz, x)
+            fz = lambda a, c: infer.fused_apply(c, a)  # noqa: E731
+            tz, sz = cbench(fz, x, chain)
             rows.append((name, "fused int8 chain", batch / tz, tf / tz, sz))
             print(f"# {name} fused: {batch/tz:,.0f} img/s "
                   f"({tf/tz:.2f}x fp32)", file=sys.stderr)
+        if name == "dorefa_resnet20":
+            # fused k-bit chain: BN+relu+act-quant folded into an affine+
+            # round+clip on the int32 accumulator; codes cross layers as
+            # int8, real values only at residual junctions (r4)
+            net = infer.export_fused_resnet20(qm, vq)
+            fr = lambda a, c: infer.fused_resnet_apply(c, a)  # noqa: E731
+            tr, sr = cbench(fr, x, net)
+            rows.append((name, "fused int8 chain", batch / tr, tf / tr, sr))
+            print(f"# {name} fused: {batch/tr:,.0f} img/s "
+                  f"({tf/tr:.2f}x fp32)", file=sys.stderr)
 
 
 def bench_decode(rows, quick=False):
@@ -274,7 +289,7 @@ def bench_decode(rows, quick=False):
     ):
         cb = make_chained_bench(repeats=5)
         tpre, spre = cb(
-            lambda t, ap=ap, p=v["params"]: ap({"params": p}, t), toks1
+            lambda t, p, ap=ap: ap({"params": p}, t), toks1, v["params"]
         )
         rows.append(
             ("decode", f"{label} prefill {prompt_len} tok (ms)",

@@ -96,3 +96,31 @@ def test_fused_chain_pool_commutes_with_negative_gamma():
     got = infer.fused_apply(chain, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_resnet_matches_fake_quant():
+    """DoReFa ResNet fused chain (r4): BN+relu+act-quant folded into an
+    affine+round+clip on the int32 conv accumulator; codes cross layers as
+    int8, real values materialize only at residual junctions. Logits must
+    match the fake-quant model to fp tolerance."""
+    model = models.DorefaResNet20(w_bits=4, a_bits=4, width=8)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 16, 16, 3))
+    v = _trained_variables(model, x)
+    ref = model.apply(v, x, train=False)
+    net = infer.export_fused_resnet20(model, v, first_dtype=jnp.float32)
+    got = infer.fused_resnet_apply(net, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_resnet_w2a2_and_codes_dtype():
+    model = models.DorefaResNet20(w_bits=2, a_bits=2, width=8)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 16, 16, 3))
+    v = _trained_variables(model, x)
+    ref = model.apply(v, x, train=False)
+    net = infer.export_fused_resnet20(model, v, first_dtype=jnp.float32)
+    got = infer.fused_resnet_apply(net, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    assert net.blocks[0].w1.dtype == jnp.int8
