@@ -120,8 +120,13 @@ def make_chained_bench(repeats: int, target_s: float = 0.5, max_n: int = 20000):
     return bench
 
 
-def bench_conv(bench, rows, quick=False):
-    """Packed conv kernels vs fp32 conv at the CIFAR models' hot shapes."""
+def bench_conv(bench, rows, quick=False, repeats=5):
+    """Packed conv kernels vs fp32 conv at the CIFAR models' hot shapes.
+
+    Timing: on-device chained differential (r4) — same rationale as the
+    model rows; the Python-loop version carried ±90-100% spread on the
+    sub-ms 256-ch shapes."""
+    del bench
     from pytorch_quantize_impls_tpu.kernels.conv import (
         pack_conv_weights, packed_conv2d,
     )
@@ -129,6 +134,7 @@ def bench_conv(bench, rows, quick=False):
         dorefa_activation, dorefa_weight,
     )
 
+    cbench = make_chained_bench(repeats)
     shapes = [(64, 16, 16, 256, 256)] if quick else [
         (256, 32, 32, 128, 128),   # XNORConvNet stage-1 hot conv
         (256, 16, 16, 256, 256),   # stage-2
@@ -142,23 +148,23 @@ def bench_conv(bench, rows, quick=False):
         )
         flops = 2 * b * h * w_ * 9 * cin * cout  # SAME padding, stride 1
 
-        f32 = jax.jit(
-            lambda a, kk: jax.lax.conv_general_dilated(
+        def f32(a, kk):
+            return jax.lax.conv_general_dilated(
                 a, kk, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=jax.lax.Precision.HIGHEST,
             )
-        )
-        t0, s0 = bench(f32, x, k)
 
+        t0, s0 = cbench(f32, x, k)
+
+        # PackedConv holds static str/int fields -> not a valid jit arg;
+        # keep it a closure constant (KB-scale, no compile-payload risk)
         pb = pack_conv_weights(k, "xnor", a_bits=1)
-        fb = jax.jit(lambda a, pw=pb: packed_conv2d(a, pw))
-        t1, s1 = bench(fb, x)
+        t1, s1 = cbench(lambda a, pw=pb: packed_conv2d(a, pw), x)
 
         pd = pack_conv_weights(dorefa_weight(k, 4), "dorefa", w_bits=4, a_bits=4)
         xd = dorefa_activation(jnp.abs(x), 4)
-        fd = jax.jit(lambda a, pw=pd: packed_conv2d(a, pw))
-        t2, s2 = bench(fd, xd)
+        t2, s2 = cbench(lambda a, pw=pd: packed_conv2d(a, pw), xd)
 
         shape = f"{b}x{h}x{w_}x{cin}->{cout}"
         rows.append(
@@ -197,6 +203,14 @@ def bench_models(rows, quick=False, repeats=5):
         ("dorefa_resnet20",
          models.DorefaResNet20(w_bits=4, a_bits=4),
          models.DorefaResNet20(quantized=False)),
+        # Production-width variant (ResNet20-4x, channels 64/128/256): the
+        # BASELINE config's width-16 net is occupancy-bound on a 394-TOP/s
+        # MXU (every variant lands within ~10% of the twin); the int8 paths'
+        # advantage appears at the channel counts real deployments use —
+        # same scaling the conv section shows (3x @128ch -> 7x @512ch).
+        ("dorefa_resnet20_w64",
+         models.DorefaResNet20(w_bits=4, a_bits=4, width=64),
+         models.DorefaResNet20(quantized=False, width=64)),
     ]
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(batch, 32, 32, 3)).astype(np.float32))
@@ -230,7 +244,7 @@ def bench_models(rows, quick=False, repeats=5):
             rows.append((name, "fused int8 chain", batch / tz, tf / tz, sz))
             print(f"# {name} fused: {batch/tz:,.0f} img/s "
                   f"({tf/tz:.2f}x fp32)", file=sys.stderr)
-        if name == "dorefa_resnet20":
+        if name.startswith("dorefa_resnet20"):
             # fused k-bit chain: BN+relu+act-quant folded into an affine+
             # round+clip on the int32 accumulator; codes cross layers as
             # int8, real values only at residual junctions (r4)
