@@ -6,8 +6,9 @@ Covers BASELINE configs 2-5 (conv models). Two execution modes:
 (weights are KB-scale — the decode is noise next to the conv) and call
 XLA's native int8 ``conv_general_dilated`` with ``preferred_element_type=
 int32`` plus a fused scale epilogue. Measured on v5e at the CIFAR models'
-hot shapes: 200-300 T/s — 7-10x the fp32-HIGHEST conv and 1.5-2x the bf16
-conv the fp32 twin actually executes — while weights stay 1/2/4-bit in HBM.
+hot shapes (r4, on-device chained timing): 295-312 T/s at the 256/512-ch
+stages — 9.3-9.9x the fp32-HIGHEST conv — while weights stay 1/2/4-bit
+in HBM. The 128-ch stage is occupancy/boundary-bound at ~97 T/s (3.5x).
 
 ``im2col``: materialize ``conv_general_dilated_patches`` in HBM and run the
 packed Pallas GEMM. Kept as the cross-check path (and for shapes where a
