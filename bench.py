@@ -94,36 +94,34 @@ def _calibrate_roundtrip() -> float:
 
 def _bench_samples(fn, *args, repeats: int = 5) -> list:
     """Per-repeat seconds/iteration (device time), differential:
-    (T(2N)-T(N))/N — with the N-iteration chain ON-DEVICE.
+    (T(2N)-T(N))/N.
 
     The relay adds a large noisy constant per synchronization; it cancels
     in the difference (separately-calibrated subtraction does not work).
-    r4: the chain moved from a Python dispatch loop into one
-    ``lax.fori_loop`` whose carry perturbs the first operand with a
-    runtime-epsilon data dependency (so XLA can neither CSE nor reorder
-    iterations) — per-dispatch relay jitter was the residual ±30-110%
-    spread on some sub-ms kernels. Returns ``repeats`` independent
-    estimates so callers report median AND spread."""
-    eps = jnp.asarray(1e-30, jnp.float32)
-    x0, rest = args[0], args[1:]
+    Returns ``repeats`` independent estimates so callers can report median
+    AND spread (VERDICT r2 #6: a single estimate hid a 5% run-to-run drift).
 
-    @jax.jit
-    def chain(x, n, eps):
-        def body(_, c):
-            y = fn(c, *rest)
-            bump = (eps * jnp.sum(y[:1, :1].astype(jnp.float32))).astype(
-                c.dtype
-            )
-            return c + bump  # iteration i+1 depends on iteration i's output
-
-        return jax.lax.fori_loop(0, n, body, x)
+    NOTE (r4): the on-device fori_loop chain used by perf_bench's MODEL
+    measurements is deliberately NOT used here. A single-GEMM chain needs a
+    data dependency on the output, and any cheap one is unsound or unfair:
+    a tiny slice (``y[:1, :1]``) lets XLA dead-code-eliminate the plain-dot
+    baselines down to one row x column (measured: "4340 TFLOP/s fp32" —
+    Pallas custom calls can't be sliced, so only the baselines collapsed,
+    corrupting every ratio), while a full ``sum(y)`` fuses free into a dot
+    epilogue but forces an extra 2-pass HBM round-trip on custom-call
+    outputs, penalizing exactly the kernels under test. Whole models don't
+    have this problem (tiny logits, deep internal dependency). So kernel
+    rates keep the Python-dispatch differential with auto-scaled windows."""
+    _force(fn(*args))  # compile + settle
 
     def run(n: int) -> float:
         t0 = time.perf_counter()
-        _force(chain(x0, jnp.asarray(n, jnp.int32), eps))
+        o = None
+        for _ in range(n):
+            o = fn(*args)  # drop the previous ref: don't hold n x 64MB
+        _force(o)
         return time.perf_counter() - t0
 
-    _force(chain(x0, jnp.asarray(2, jnp.int32), eps))  # compile + settle
     n = ITERS
     est = max((run(2 * n) - run(n)) / n, 1e-9)  # pilot
     # Auto-scale the differential window to ~0.25 s of device time: fixed
