@@ -25,6 +25,7 @@ from pytorch_quantize_impls_tpu.infer.packed import (  # noqa: F401
 from pytorch_quantize_impls_tpu.infer.fused_chain import (  # noqa: F401
     FusedChain,
     export_fused_chain,
+    export_fused_lenet,
     export_fused_resnet20,
     fused_apply,
     fused_resnet_apply,

@@ -57,7 +57,7 @@ from pytorch_quantize_impls_tpu.kernels import xnor_gemm as _bg
 
 @struct.dataclass
 class FusedStage:
-    """One conv stage with its boundary folded into the epilogue."""
+    """One conv/dense stage with its boundary folded into the epilogue."""
 
     w: jax.Array  # HWIO weights: int8 ±1 codes (code-input) or fp (first)
     # binarize epilogue (hidden stages): per-cout threshold + codes
@@ -72,6 +72,7 @@ class FusedStage:
     pool: bool = struct.field(pytree_node=False, default=False)
     strides: Tuple[int, int] = struct.field(pytree_node=False, default=(1, 1))
     padding: str = struct.field(pytree_node=False, default="SAME")
+    dense: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -182,6 +183,61 @@ def _max_pool(x):
     return jax.lax.reduce_window(
         x, init, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )
+
+
+def export_fused_lenet(model, variables, *, first_dtype=jnp.bfloat16) -> FusedChain:
+    """Build a :class:`FusedChain` from a trained ``BNNLeNet`` (BASELINE
+    config 2: W1A1, VALID-padding 5x5 convs + binary dense trunk).
+
+    Same per-channel threshold fold as the XNOR chain — the BNN layer
+    order is conv/dense → BN → [pool] → sign-binarize(next input), so
+    every hidden boundary collapses into hi/lo codes on the raw
+    accumulator; the conv→dense seam just flattens the int8 code maps.
+    Requires ``quantized=True`` (deterministic binarization).
+    """
+    if not model.quantized:
+        raise ValueError("fused lenet needs quantized=True")
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def sign_codes(kernel):
+        return jnp.where(kernel >= 0, 1, -1).astype(jnp.int8)
+
+    def thr_stage(w, bn_p, bn_s, **kw):
+        gamma, beta, mean, s = _bn_affine(bn_p, bn_s)
+        ones = jnp.ones((w.shape[-1],), jnp.float32)
+        thr, hi, lo = _binarize_epilogue(gamma, beta, mean, s, ones)
+        return FusedStage(w=w, thr=thr, hi=hi, lo=lo, **kw)
+
+    w = model.width
+    del w
+    stages = (
+        # conv1: real pixels in, ±1 weights in fp compute; bn1 folds into
+        # the codes epilogue; pool runs on the int8 codes
+        thr_stage(
+            sign_codes(params["conv1"]["conv"]["kernel"]).astype(first_dtype),
+            params["bn1"], stats["bn1"],
+            in_codes=False, pool=True, padding="VALID",
+        ),
+        # conv2: int8 x int8 -> int32, bn2 fold, pool on codes
+        thr_stage(
+            sign_codes(params["conv2"]["conv"]["kernel"]),
+            params["bn2"], stats["bn2"],
+            in_codes=True, pool=True, padding="VALID",
+        ),
+        # fc1: int8 dense on the flattened codes, bn3 fold
+        thr_stage(
+            sign_codes(params["fc1"]["dense"]["kernel"]),
+            params["bn3"], stats["bn3"],
+            in_codes=True, dense=True,
+        ),
+    )
+    head = FusedHead(
+        w=jnp.where(
+            params["head"]["dense"]["kernel"] >= 0, 1.0, -1.0
+        ).astype(jnp.float32),
+    )
+    return FusedChain(stages=stages, head=head)
 
 
 # --- DoReFa ResNet-20 fused chain ------------------------------------------
@@ -337,7 +393,19 @@ def fused_apply(chain: FusedChain, x: jax.Array) -> jax.Array:
     """Forward through the fused chain. ``x``: NHWC real images."""
     h = x
     for st in chain.stages:
-        if st.in_codes:
+        if st.dense:
+            if h.ndim > 2:  # conv part -> dense part: flatten the codes
+                h = h.reshape(h.shape[0], -1)
+            if st.in_codes:
+                y = jnp.dot(
+                    h, st.w, preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
+            else:
+                y = jnp.dot(
+                    h.astype(st.w.dtype), st.w,
+                    preferred_element_type=jnp.float32,
+                )
+        elif st.in_codes:
             y = jax.lax.conv_general_dilated(
                 h, st.w, st.strides, st.padding, dimension_numbers=_DN,
                 preferred_element_type=jnp.int32,
@@ -353,7 +421,9 @@ def fused_apply(chain: FusedChain, x: jax.Array) -> jax.Array:
             h = y * st.scale + st.bias
         if st.pool:
             h = _max_pool(h)
-    h = h.reshape(h.shape[0], -1).astype(jnp.float32)
+    if h.ndim > 2:
+        h = h.reshape(h.shape[0], -1)
+    h = h.astype(jnp.float32)
     y = jnp.dot(h, chain.head.w, preferred_element_type=jnp.float32)
     if chain.head.alpha is not None:
         y = y * chain.head.alpha

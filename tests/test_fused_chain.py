@@ -124,3 +124,20 @@ def test_fused_resnet_w2a2_and_codes_dtype():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
     assert net.blocks[0].w1.dtype == jnp.int8
+
+
+def test_fused_lenet_matches_fake_quant():
+    """BNN LeNet fused chain (BASELINE config 2): VALID-pad convs + binary
+    dense trunk, every hidden boundary folded to threshold codes; the
+    conv->dense seam flattens int8 code maps."""
+    model = models.BNNLeNet(width=8)
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 28, 28, 1))
+    v = _trained_variables(model, x)
+    ref = model.apply(v, x, train=False)
+    chain = infer.export_fused_lenet(model, v, first_dtype=jnp.float32)
+    got = infer.fused_apply(chain, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    assert chain.stages[1].w.dtype == jnp.int8  # conv2 runs int8 MXU
+    assert chain.stages[2].dense and chain.stages[2].w.dtype == jnp.int8
