@@ -243,8 +243,9 @@ def export_fused_lenet(model, variables, *, first_dtype=jnp.bfloat16) -> FusedCh
 # --- DoReFa ResNet-20 fused chain ------------------------------------------
 #
 # The same boundary-folding idea for k-bit DoReFa (BASELINE config 4):
-# between convs, activations are a_bits-level codes c ∈ [0, n_a], and the
-# whole BN → relu → dorefa_activation boundary collapses to one per-channel
+# each conv consumes a_bits-level codes c ∈ [0, n_a] (the model quantizes
+# conv INPUTS; the residual stream stays full-precision — models/resnet.py
+# r4 note), and the conv1→conv2 boundary collapses to one per-channel
 # affine + round + clip on the raw int32 conv accumulator:
 #
 #   aq   = round(clip(relu(BN(y/(n_w·n_a))), 0, 1) · n_a) / n_a
@@ -253,9 +254,9 @@ def export_fused_lenet(model, variables, *, first_dtype=jnp.bfloat16) -> FusedCh
 # (relu + the [0,1] clip fold into the final [0, n_a] clip; round is
 # monotone, so round∘clip == clip∘round on the grid.) Unlike the binary
 # threshold case no monotonicity trick is needed — the affine is computed
-# directly, so negative-γ BN channels need no special handling. Residual
-# junctions are the only place real values materialize: one f32 map per
-# block instead of three per layer.
+# directly, so negative-γ BN channels need no special handling. The real
+# residual stream materializes once per block (junction relu), and the next
+# block's input codes are one fused round/clip pass over it.
 
 
 @struct.dataclass
@@ -266,7 +267,7 @@ class FusedResBlock:
     w2: jax.Array  # int8 centered codes, HWIO
     a2: jax.Array  # real epilogue: y_real = a2*y + b2
     b2: jax.Array
-    wp: Optional[jax.Array] = None  # fp 1x1 proj kernel (1/n_a folded in)
+    wp: Optional[jax.Array] = None  # fp 1x1 proj kernel (runs on the real stream)
     ap: Optional[jax.Array] = None  # proj BN affine
     bp: Optional[jax.Array] = None
     strides: Tuple[int, int] = struct.field(pytree_node=False, default=(1, 1))
@@ -275,12 +276,11 @@ class FusedResBlock:
 @struct.dataclass
 class FusedResNet:
     stem_w: jax.Array  # fp HWIO
-    stem_a: jax.Array  # codes epilogue after stem (BN+relu+actq folded)
+    stem_a: jax.Array  # stem BN affine (real stream: r = relu(a*y + b))
     stem_b: jax.Array
     blocks: Tuple[FusedResBlock, ...]
     head_w: jax.Array
     head_b: jax.Array
-    inv_na: jax.Array  # 1 / n_a  (codes -> real)
     n_a: int = struct.field(pytree_node=False, default=15)
 
 
@@ -308,8 +308,8 @@ def export_fused_resnet20(model, variables, *, first_dtype=jnp.bfloat16):
         return _bn_affine(params[name_p], stats[name_s])
 
     g, b, mu, s = bn("bn_stem", "bn_stem")
-    stem_a = (g / s) * n_a
-    stem_b = (b - g * mu / s) * n_a
+    stem_a = g / s
+    stem_b = b - g * mu / s
     blocks = []
     for stage, (f, s0) in enumerate([(1, 1), (2, 2), (4, 2)]):
         for bi in range(3):
@@ -330,11 +330,8 @@ def export_fused_resnet20(model, variables, *, first_dtype=jnp.bfloat16):
             wp = ap = bpv = None
             if "proj" in bp_:
                 gp, bpb, mp, sp = _bn_affine(bp_["bn_proj"], bs_["bn_proj"])
-                # proj consumes residual codes: fold codes->real (1/n_a)
-                # into the 1x1 kernel; BN affine goes to (ap, bp)
-                wp = (
-                    bp_["proj"]["kernel"].astype(jnp.float32) / n_a
-                ).astype(first_dtype)
+                # proj consumes the full-precision residual stream directly
+                wp = bp_["proj"]["kernel"].astype(first_dtype)
                 ap = gp / sp
                 bpv = bpb - gp * mp / sp
             blocks.append(
@@ -349,7 +346,6 @@ def export_fused_resnet20(model, variables, *, first_dtype=jnp.bfloat16):
         blocks=tuple(blocks),
         head_w=params["head"]["kernel"].astype(jnp.float32),
         head_b=params["head"]["bias"].astype(jnp.float32),
-        inv_na=jnp.asarray(1.0 / n_a, jnp.float32),
         n_a=n_a,
     )
 
@@ -359,12 +355,18 @@ def _quant_codes(h, n_a):
 
 
 def fused_resnet_apply(net: FusedResNet, x: jax.Array) -> jax.Array:
-    """Forward through the fused DoReFa ResNet. ``x``: NHWC real images."""
+    """Forward through the fused DoReFa ResNet. ``x``: NHWC real images.
+
+    Carries two streams: the fp residual ``r`` (one map per block) and the
+    int8 input codes ``c = clip(round(n_a·r), 0, n_a)`` the quantized convs
+    consume (r ≥ 0 post-relu, so the [0,1] clip is the [0, n_a] clip)."""
+    n_a = float(net.n_a)
     y = jax.lax.conv_general_dilated(
         x.astype(net.stem_w.dtype), net.stem_w, (1, 1), "SAME",
         dimension_numbers=_DN, preferred_element_type=jnp.float32,
     )
-    c = _quant_codes(y * net.stem_a + net.stem_b, net.n_a)
+    r = jax.nn.relu(y * net.stem_a + net.stem_b)
+    c = _quant_codes(r * n_a, net.n_a)
     for blk in net.blocks:
         y1 = jax.lax.conv_general_dilated(
             c, blk.w1, blk.strides, "SAME", dimension_numbers=_DN,
@@ -378,14 +380,15 @@ def fused_resnet_apply(net: FusedResNet, x: jax.Array) -> jax.Array:
         y2r = y2 * blk.a2 + blk.b2
         if blk.wp is not None:
             pr = jax.lax.conv_general_dilated(
-                c.astype(blk.wp.dtype), blk.wp, blk.strides, "SAME",
+                r.astype(blk.wp.dtype), blk.wp, blk.strides, "SAME",
                 dimension_numbers=_DN, preferred_element_type=jnp.float32,
             )
             resr = pr * blk.ap + blk.bp
         else:
-            resr = c.astype(jnp.float32) * net.inv_na
-        c = _quant_codes((y2r + resr) * float(net.n_a), net.n_a)
-    pooled = jnp.mean(c.astype(jnp.float32), axis=(1, 2)) * net.inv_na
+            resr = r
+        r = jax.nn.relu(y2r + resr)
+        c = _quant_codes(r * n_a, net.n_a)
+    pooled = jnp.mean(r, axis=(1, 2))
     return pooled @ net.head_w + net.head_b
 
 

@@ -15,7 +15,6 @@ import flax.linen as fnn
 import jax.numpy as jnp
 
 from pytorch_quantize_impls_tpu import nn as qnn
-from pytorch_quantize_impls_tpu import ops
 
 
 class _BasicBlock(fnn.Module):
@@ -28,6 +27,16 @@ class _BasicBlock(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
+        # Activation quantization placement (r4): quantize each conv's
+        # INPUT (inside DorefaConv via a_bits) and keep the residual
+        # stream full-precision — the standard quantized-ResNet topology
+        # (PACT arXiv:1805.06085 §4, LQ-Nets practice). Quantizing AFTER
+        # the residual add (the r3 layout) crushes the skip stream
+        # through clip[0,1] at every block: the act codes are
+        # NON-NEGATIVE, so additive junctions drift monotonically into
+        # the zero-gradient saturation region with depth — measured
+        # W32A4 0.38 vs W4A32 0.81 on the hardened gate at 600 steps;
+        # the pre-conv placement recovers 0.66 at the same budget.
         def conv(f, s, name):
             if self.quantized:
                 return partial(
@@ -36,6 +45,7 @@ class _BasicBlock(fnn.Module):
                         kernel_size=(3, 3),
                         strides=(s, s),
                         bits=self.w_bits,
+                        a_bits=self.a_bits or None,
                         use_bias=False,
                         dtype=self.dtype,
                         name=name,
@@ -47,16 +57,10 @@ class _BasicBlock(fnn.Module):
                 dtype=self.dtype, name=name,
             )
 
-        def act(h):
-            h = fnn.relu(h)
-            if self.quantized and self.a_bits:
-                h = ops.dorefa_activation(h, self.a_bits)
-            return h
-
         residual = x
         y = conv(self.features, self.strides, "conv1")(x)
         y = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y)
-        y = act(y)
+        y = fnn.relu(y)
         y = conv(self.features, 1, "conv2")(y)
         y = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y)
         if residual.shape != y.shape:
@@ -72,7 +76,7 @@ class _BasicBlock(fnn.Module):
             residual = fnn.BatchNorm(
                 use_running_average=not train, dtype=self.dtype, name="bn_proj"
             )(residual)
-        return act(y + residual)
+        return fnn.relu(y + residual)
 
 
 class DorefaResNet20(fnn.Module):
@@ -98,8 +102,8 @@ class DorefaResNet20(fnn.Module):
         )(x)
         x = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn_stem")(x)
         x = fnn.relu(x)
-        if self.quantized and self.a_bits:
-            x = ops.dorefa_activation(x, self.a_bits)
+        # (input quantization happens inside each block's convs — see
+        # _BasicBlock; the residual stream itself stays full-precision)
         block_cls = (
             fnn.remat(_BasicBlock, static_argnums=(2,)) if self.remat
             else _BasicBlock
