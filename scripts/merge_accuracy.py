@@ -20,6 +20,7 @@ ORDER = [
     "bnn_lenet",
     "xnor_cifar",
     "dorefa_resnet20",
+    "dorefa_resnet20_w4",
     "logquant_vgg",
     "binaryconnect_digits",
     "xnor_digits",
@@ -33,6 +34,7 @@ DATA = {
     "bnn_lenet": "synthetic MNIST stand-in",
     "xnor_cifar": "synthetic CIFAR-10 stand-in",
     "dorefa_resnet20": "synthetic CIFAR-10 stand-in",
+    "dorefa_resnet20_w4": "synthetic CIFAR-10 stand-in",
     "logquant_vgg": "synthetic CIFAR-10 stand-in",
     "binaryconnect_digits": "REAL (sklearn optdigits)",
 }
@@ -90,6 +92,7 @@ def main() -> int:
         "bnn_lenet": "W1A1",
         "xnor_cifar": "W1A1+α",
         "dorefa_resnet20": "W4A4",
+        "dorefa_resnet20_w4": "W4 (weights only)",
         "logquant_vgg": "W4 log",
         "binaryconnect_digits": "W1",
         "xnor_digits": "W1+α (BWN)",
