@@ -9,11 +9,9 @@ BASELINE.json:5 mandates real packed execution. Design (measured on v5e,
 * bf16 MXU                           ~150 TFLOP/s
 * int8 MXU (Pallas, native)          ~330-393 TOP/s (84-100% of 394 peak)
 * binary fused packed GEMM           ~342-373 T/s = 11-12.2x fp32
-  (373.5 T/s / 12.15x / 97% of int8 peak: SESSION-RUN r3, auto-scaled
-  differential windows; last DRIVER-RUN: 341.7 T/s / 10.98x, BENCH_r02 —
-  its shorter timing chains rode relay jitter, see bench.py. Freshest
-  hardware-verified record: BENCH_TPU_LAST_GOOD.json at the repo root,
-  written by every successful TPU bench run with timestamp + commit.)
+  (373.4 T/s / 12.08x / 97.0% of int8 peak: hardware-verified r4 run —
+  see BENCH_TPU_LAST_GOOD.json at the repo root, written by every
+  successful TPU bench run with value, spread, timestamp and commit.)
 
 so every kernel here decodes packed weights IN VMEM and feeds the MXU with
 int8/bf16 — the TPU-native answer to CUDA popcount tricks (the VPU popcount
