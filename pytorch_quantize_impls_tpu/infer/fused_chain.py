@@ -102,12 +102,21 @@ def _bn_affine(params, stats, eps=1e-5):
 def _binarize_epilogue(gamma, beta, mean, s, alpha):
     """(thr, hi, lo) for code = sign(BN(α·y)) as a threshold on raw y."""
     safe_g = jnp.where(gamma == 0, 1.0, gamma)
-    t = (mean - beta * s / safe_g) / alpha
+    safe_a = jnp.where(alpha == 0, 1.0, alpha)
+    t = (mean - beta * s / safe_g) / safe_a
     sign_b = jnp.where(beta >= 0, 1, -1).astype(jnp.int8)
     hi = jnp.where(gamma > 0, 1, jnp.where(gamma < 0, -1, sign_b)).astype(jnp.int8)
     lo = jnp.where(gamma > 0, -1, jnp.where(gamma < 0, 1, sign_b)).astype(jnp.int8)
     # γ==0: code is constant sign(β); force the threshold comparison moot
     t = jnp.where(gamma == 0, -jnp.inf, t)
+    # α==0 (dead all-zero kernel channel): the effective binarized weight is
+    # α·sign(k) = 0, so the BN input is the constant 0 and the code is the
+    # constant sign(β − γμ/s) — but the ±1 code plane w is all +1 there, so
+    # the accumulator y is NOT zero. Force the constant code explicitly.
+    const_code = jnp.where(beta - gamma * mean / s >= 0, 1, -1).astype(jnp.int8)
+    hi = jnp.where(alpha == 0, const_code, hi)
+    lo = jnp.where(alpha == 0, const_code, lo)
+    t = jnp.where(alpha == 0, -jnp.inf, t)
     return t.astype(jnp.float32), hi, lo
 
 

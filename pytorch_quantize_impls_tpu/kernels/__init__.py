@@ -9,9 +9,9 @@ BASELINE.json:5 mandates real packed execution. Design (measured on v5e,
 * bf16 MXU                           ~150 TFLOP/s
 * int8 MXU (Pallas, native)          ~330-393 TOP/s (84-100% of 394 peak)
 * binary fused packed GEMM           ~342-373 T/s = 11-12.2x fp32
-  (373.4 T/s / 12.08x / 97.0% of int8 peak: hardware-verified r4 run —
-  see BENCH_TPU_LAST_GOOD.json at the repo root, written by every
-  successful TPU bench run with value, spread, timestamp and commit.)
+  (hardware-verified; the live record is BENCH_TPU_LAST_GOOD.json at the
+  repo root, rewritten by every successful TPU bench run with value,
+  spread, timestamp and commit — cite that file, not a frozen number.)
 
 so every kernel here decodes packed weights IN VMEM and feeds the MXU with
 int8/bf16 — the TPU-native answer to CUDA popcount tricks (the VPU popcount

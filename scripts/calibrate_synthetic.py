@@ -51,22 +51,31 @@ def main() -> int:
         if a.config in ("binaryconnect_mlp", "bnn_lenet")
         else data.datasets.SYNTH_CIFAR_DIFFICULTY
     )
-    for noise in a.noise:
-        target["noise"] = noise
-        if a.parts is not None:
-            target["parts"] = a.parts
-        if a.part_sparsity is not None:
-            target["part_sparsity"] = a.part_sparsity
-        if a.max_shift is not None:
-            target["max_shift"] = a.max_shift
-        f = run_one(cfg, fp32=True, steps=steps, lr=a.lr)
-        msg = (f"{a.config} {target} -> fp32 acc {f['accuracy']:.4f} "
-               f"({f['train_s']}s)")
-        if a.quant:
-            q = run_one(cfg, fp32=False, steps=steps, lr=a.lr)
-            msg += f"  quant acc {q['accuracy']:.4f} (Δ {q['accuracy']-f['accuracy']:+.4f})"
-        log.info(msg)
-        print(msg)
+    # run_one builds datasets through data.mnist()/cifar10(), which read the
+    # module-level difficulty dicts at construction time — so the sweep must
+    # set them. Scope the mutation: snapshot + finally-restore, so nothing
+    # later in this process silently inherits the last swept setting.
+    orig = dict(target)
+    try:
+        for noise in a.noise:
+            target["noise"] = noise
+            if a.parts is not None:
+                target["parts"] = a.parts
+            if a.part_sparsity is not None:
+                target["part_sparsity"] = a.part_sparsity
+            if a.max_shift is not None:
+                target["max_shift"] = a.max_shift
+            f = run_one(cfg, fp32=True, steps=steps, lr=a.lr)
+            msg = (f"{a.config} {target} -> fp32 acc {f['accuracy']:.4f} "
+                   f"({f['train_s']}s)")
+            if a.quant:
+                q = run_one(cfg, fp32=False, steps=steps, lr=a.lr)
+                msg += f"  quant acc {q['accuracy']:.4f} (Δ {q['accuracy']-f['accuracy']:+.4f})"
+            log.info(msg)
+            print(msg)
+    finally:
+        target.clear()
+        target.update(orig)
     return 0
 
 
