@@ -30,4 +30,10 @@ from pytorch_quantize_impls_tpu.infer.fused_chain import (  # noqa: F401
     fused_apply,
     fused_resnet_apply,
 )
+from pytorch_quantize_impls_tpu.infer.fused_decode import (  # noqa: F401
+    FusedDecodeModel,
+    export_fused_decode,
+    fused_decode_apply,
+    fused_init_cache,
+)
 from pytorch_quantize_impls_tpu.infer import host_export  # noqa: F401

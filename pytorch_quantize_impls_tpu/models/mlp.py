@@ -20,9 +20,19 @@ class MLP(fnn.Module):
     """Generic quantized MLP: [Dense -> BatchNorm -> ReLU]* -> Dense."""
 
     features: Sequence[int] = (512, 512, 10)
-    layer: str = "bin"  # bin | bin_stoch | ternary | dorefa | log | lin | fp32
+    # bin | bin_stoch | ternary | ternary_stoch | dorefa | log | lin |
+    # elastic | fp32
+    layer: str = "bin"
     bits: int = 4
+    # DoReFa-only knobs (paper notation W{bits}A{a_bits}G{g_bits}): input
+    # activation quantization and train-time gradient quantization. g_bits
+    # needs a 'quant' rng at apply time (fresh stochastic-rounding noise per
+    # step — arXiv:1606.06160 eq. 12).
+    a_bits: int = 0
+    g_bits: int = 0
     fsr: float = 1.0
+    # Elastic-only: grid for the sown penalty (nn/elastic.py).
+    elastic_grid: str = "binary"
     use_batchnorm: bool = True
     # Mixed precision: compute dtype for matmuls/BN (e.g. jnp.bfloat16 for
     # the MXU fast path); fp32 master weights are unaffected — quantizers
@@ -46,7 +56,15 @@ class MLP(fnn.Module):
         if kind == "ternary_stoch":
             return qnn.LinearTer(features=f, deterministic=False, **dt)
         if kind == "dorefa":
-            return qnn.LinearDorefa(features=f, bits=self.bits, **dt)
+            return qnn.LinearDorefa(
+                features=f, bits=self.bits, a_bits=self.a_bits or None,
+                g_bits=self.g_bits or None, **dt
+            )
+        if kind == "elastic":
+            return qnn.ElasticLinear(
+                features=f, grid=self.elastic_grid, fsr=self.fsr,
+                bits=self.bits, **dt
+            )
         if kind == "log":
             return qnn.LinearQuantLog(features=f, fsr=self.fsr, bits=self.bits, **dt)
         if kind == "lin":

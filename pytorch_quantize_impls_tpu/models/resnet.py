@@ -22,6 +22,7 @@ class _BasicBlock(fnn.Module):
     strides: int = 1
     w_bits: int = 4
     a_bits: int = 4
+    a_quant: str = "fixed"  # "fixed" clip[0,1] | "pact" learnable clip
     quantized: bool = True
     dtype: Optional[Any] = None
 
@@ -46,6 +47,7 @@ class _BasicBlock(fnn.Module):
                         strides=(s, s),
                         bits=self.w_bits,
                         a_bits=self.a_bits or None,
+                        a_quant=self.a_quant,
                         use_bias=False,
                         dtype=self.dtype,
                         name=name,
@@ -83,6 +85,10 @@ class DorefaResNet20(fnn.Module):
     classes: int = 10
     w_bits: int = 4
     a_bits: int = 4
+    # Activation-quantizer flavor for the block convs: "fixed" DoReFa
+    # clip[0,1] or "pact" learnable per-layer clip (arXiv:1805.06085) — the
+    # standard W4A4 recipe; see ACCURACY.md dorefa rows.
+    a_quant: str = "fixed"
     quantized: bool = True
     width: int = 16
     # Mixed-precision compute dtype (fp32 masters untouched).
@@ -115,6 +121,7 @@ class DorefaResNet20(fnn.Module):
                     strides=s if block == 0 else 1,
                     w_bits=self.w_bits,
                     a_bits=self.a_bits,
+                    a_quant=self.a_quant,
                     quantized=self.quantized,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{block}",

@@ -253,10 +253,20 @@ class QuantTransformerBlock(nn.Module):
                 a_bits=self.a_bits,
                 name="ffn_in",
             )(h, train=train)
-            ff = jax.nn.relu(ff)
-            # a_bits > 0: quantize the post-ReLU activation so ffn_out runs
-            # W-k/A-k — at serving time infer.packed_apply dispatches it to
-            # the exact integer-code GEMM (kernels/packed_matmul.py).
+            # Nonlinearity between the FFN matmuls. With sign-binarized
+            # activations (binary/xnor, a_bits==1) the sign IS the
+            # nonlinearity (BNN practice: conv/dense -> sign, no ReLU) — and
+            # ReLU before sign is DEGENERATE: relu(x) >= 0 and sign(0) = +1,
+            # so binary_tanh(relu(x)) = +1 everywhere and ffn_out would see
+            # a constant input (r5 fix; caught designing the fused decode
+            # step). For k-bit schemes (dorefa clip[0,1]) post-ReLU
+            # quantization is the standard, correct placement.
+            sign_act = self.a_bits == 1 and self.scheme in ("binary", "xnor")
+            if not sign_act:
+                ff = jax.nn.relu(ff)
+            # a_bits > 0: quantize the activation so ffn_out runs W-k/A-k —
+            # at serving time infer.packed_apply dispatches it to the exact
+            # integer-code GEMM (kernels/packed_matmul.py).
             ff = QuantDense(
                 features=d, weight_quant=wq, dtype=self.dtype,
                 input_quant=_act_quant(self.scheme, self.a_bits),

@@ -16,6 +16,7 @@ import flax.linen as nn
 
 from pytorch_quantize_impls_tpu import ops
 from pytorch_quantize_impls_tpu.nn.base import QuantConv, QuantDense
+from pytorch_quantize_impls_tpu.nn.pact import PACT
 
 
 class LinearDorefa(nn.Module):
@@ -26,6 +27,10 @@ class LinearDorefa(nn.Module):
     bitwight: Optional[int] = None  # reference-spelling alias for ``bits``
     a_bits: Optional[int] = None  # None -> no input quantization
     g_bits: Optional[int] = None  # None -> no gradient quantization
+    # Input-quantizer flavor: "fixed" = DoReFa clip[0,1] (paper eq. 7);
+    # "pact" = learnable per-layer clip bound (arXiv:1805.06085) — the
+    # standard recipe for closing the W4A4 gap the fixed clip leaves.
+    a_quant: str = "fixed"
     use_bias: bool = True
     dtype: Optional[Any] = None
 
@@ -39,19 +44,26 @@ class LinearDorefa(nn.Module):
             # paper eq. 12: quantize the backward cotangent on the input
             # path (fresh noise per step via the 'quant' rng collection)
             x = ops.dorefa_gradient(x, self.make_rng("quant"), self.g_bits)
+        pact_input = bool(self.a_bits) and self.a_quant == "pact"
+        if pact_input:
+            # PACT quantizes here in the wrapper (the learnable alpha lives
+            # in this layer's scope); metadata a_bits=0 below so the packed
+            # exporter treats inputs as real — the fixed-clip path stays the
+            # packed/fused execution surface.
+            x = PACT(bits=self.a_bits, name="act")(x, train=train)
         return QuantDense(
             features=self.features,
             weight_quant=partial(ops.dorefa_weight, bits=self.w_bits),
             input_quant=(
                 partial(ops.dorefa_activation, bits=self.a_bits)
-                if self.a_bits
+                if self.a_bits and not pact_input
                 else None
             ),
             use_bias=self.use_bias,
             dtype=self.dtype,
             scheme="dorefa",
             w_bits=self.w_bits,
-            a_bits=self.a_bits or 0,
+            a_bits=0 if pact_input else (self.a_bits or 0),
             name="dense",
         )(x, train=train)
 
@@ -67,6 +79,7 @@ class DorefaConv(nn.Module):
     bitwight: Optional[int] = None
     a_bits: Optional[int] = None
     g_bits: Optional[int] = None
+    a_quant: str = "fixed"  # "fixed" clip[0,1] | "pact" learnable clip
     use_bias: bool = True
     dtype: Optional[Any] = None
 
@@ -78,6 +91,9 @@ class DorefaConv(nn.Module):
     def __call__(self, x, train: bool = True):
         if self.g_bits and train:
             x = ops.dorefa_gradient(x, self.make_rng("quant"), self.g_bits)
+        pact_input = bool(self.a_bits) and self.a_quant == "pact"
+        if pact_input:
+            x = PACT(bits=self.a_bits, name="act")(x, train=train)
         return QuantConv(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -86,13 +102,13 @@ class DorefaConv(nn.Module):
             weight_quant=partial(ops.dorefa_weight, bits=self.w_bits),
             input_quant=(
                 partial(ops.dorefa_activation, bits=self.a_bits)
-                if self.a_bits
+                if self.a_bits and not pact_input
                 else None
             ),
             use_bias=self.use_bias,
             dtype=self.dtype,
             scheme="dorefa",
             w_bits=self.w_bits,
-            a_bits=self.a_bits or 0,
+            a_bits=0 if pact_input else (self.a_bits or 0),
             name="conv",
         )(x, train=train)

@@ -11,6 +11,23 @@ from pytorch_quantize_impls_tpu import ops
 from pytorch_quantize_impls_tpu.nn.base import QuantConv, QuantDense, stochastic
 
 
+def ternary_spread_init(key, shape, dtype=None):
+    """Uniform(-1, 1) master-weight init — the TernaryConnect paper's weight
+    domain (arXiv:1510.03009 clips masters to [-1, 1]).
+
+    Fan-in-scaled inits (glorot std ~0.06 at width 512) put EVERY weight
+    inside the deterministic dead zone |w| < 0.5, so the whole net
+    quantizes to 0: zero forward, vanishing STE gradients through the zero
+    downstream weights, training stuck at chance (measured r5: 0.075 on
+    digits vs 0.99 after this fix). Masters must straddle the ±0.5
+    thresholds from the start; BatchNorm absorbs the larger activation
+    scale."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.random.uniform(key, shape, dtype or jnp.float32, -1.0, 1.0)
+
+
 def _ternary_quant(deterministic: bool):
     if deterministic:
         return ops.ternary_connect_det
@@ -34,6 +51,7 @@ class LinearTer(nn.Module):
         return QuantDense(
             features=self.features,
             weight_quant=_ternary_quant(self.deterministic),
+            kernel_init=ternary_spread_init,
             use_bias=self.use_bias,
             dtype=self.dtype,
             scheme="ternary",
@@ -59,6 +77,7 @@ class TerConv(nn.Module):
             strides=self.strides,
             padding=self.padding,
             weight_quant=_ternary_quant(self.deterministic),
+            kernel_init=ternary_spread_init,
             use_bias=self.use_bias,
             dtype=self.dtype,
             scheme="ternary",

@@ -92,6 +92,13 @@ class DecodeEngine:
     Pack with the TRAIN-mode model: module paths are identical in the decode
     twin, so the records line up.
 
+    ``fused`` (optional): a ``infer.export_fused_decode(model, variables)``
+    program — the engine then executes the FUSED decode step
+    (infer/fused_decode.py: single-GEMM QKV, one-pass int8-cache attention
+    kernel, threshold-folded FFN boundary) instead of interception-based
+    dispatch. Exclusive with ``packed``/``mesh``; the slot/admit machinery
+    is unchanged (the fused cache mirrors the flax cache leaf names).
+
     ``mesh`` (optional): a ``(data, model)`` device mesh — the decode step
     then runs under ``shard_map`` with SLOTS SHARDED OVER THE DATA AXIS:
     each device group owns ``n_slots / mesh.shape['data']`` cache rows and
@@ -111,13 +118,22 @@ class DecodeEngine:
         params,
         *,
         packed=None,
+        fused=None,
         n_slots: int = 8,
         prompt_buckets: Sequence[int] = (16, 32, 64, 128),
         temperature: float = 0.0,
         seed: int = 0,
         mesh: Optional[Mesh] = None,
     ):
+        if fused is not None and (packed is not None or mesh is not None):
+            raise ValueError("fused backend is exclusive with packed/mesh")
         self._md = model.clone(decode=True)
+        self._fused = fused
+        if fused is not None:
+            # the fused program IS the weights: ride it through the jit
+            # boundary as the params argument (closure constants above
+            # ~100 MB stall the compile upload on the TPU relay)
+            params = fused
         self._mesh = mesh
         if mesh is not None:
             dsz = mesh.shape[DATA_AXIS]
@@ -139,11 +155,21 @@ class DecodeEngine:
         md = self._md
 
         def _apply(variables, toks):
+            if fused is not None:
+                from pytorch_quantize_impls_tpu.infer.fused_decode import (
+                    fused_decode_apply,
+                )
+
+                return fused_decode_apply(
+                    variables["params"], variables.get("cache"), toks
+                )
             if packed is None:
                 return md.apply(variables, toks, train=False, mutable=_MUT)
             from pytorch_quantize_impls_tpu.infer.packed import packed_apply
 
             return packed_apply(md, variables, packed, toks, mutable=_MUT)
+
+        self._apply_any = _apply
 
         @jax.jit
         def _prefill(params, toks):
@@ -270,6 +296,12 @@ class DecodeEngine:
 
     def _fresh_cache(self):
         """Batched (n_slots) cache pytree, all cursors at 0."""
+        if self._fused is not None:
+            from pytorch_quantize_impls_tpu.infer.fused_decode import (
+                fused_init_cache,
+            )
+
+            return fused_init_cache(self._fused, self._n_slots)
         dummy = jnp.zeros((self._n_slots, 1), jnp.int32)
         _, st = self._md.apply(
             {"params": self._params}, dummy, train=False, mutable=_MUT

@@ -19,6 +19,13 @@ class RunConfig:
     w_bits: int = 1
     a_bits: int = 0
     g_bits: int = 0  # DoReFa gradient quantization (0 = off)
+    # Activation-quantizer flavor for DoReFa configs: "fixed" clip[0,1] or
+    # "pact" learnable per-layer clip (arXiv:1805.06085).
+    a_quant: str = "fixed"
+    # QAT warm start: initialize the quantized run from the trained fp32
+    # twin's weights (standard quantized fine-tuning; the twin is trained
+    # anyway for the Δacc comparison, so this costs nothing extra).
+    warm_start: bool = False
     fsr: float = 1.0
     # model capacity (None = model default). Binary W1A1 nets need width to
     # compensate 1-bit capacity (BNN paper uses 2-8x wider nets than fp32
@@ -58,9 +65,17 @@ SCHEME_CONFIGS = {
     # ~3x slower than their fp32 twins — DESIGN.md §3c).
     "bnn_lenet": _mk("bnn_lenet", w_bits=1, a_bits=1, width=128, steps=8000),
     "xnor_cifar": _mk("xnor_cifar", w_bits=1, a_bits=1, steps=12000),
-    # W4A4 with conv-input act quant (see models/resnet.py r4 note): the
-    # longer anneal matches the MLP finding (STE noise anneals with cosine).
-    "dorefa_resnet20": _mk("dorefa_resnet20", w_bits=4, a_bits=4, steps=6000),
+    # W4A4 with conv-input act quant (see models/resnet.py r4 note) and the
+    # r5 standard recipe (VERDICT r4 #1): PACT learnable per-layer clip on
+    # the activation path (the fixed clip[0,1] left a -10.5% gap the
+    # literature says W4A4 does not have), QAT warm start from the trained
+    # fp32 twin, and the long cosine anneal. elastic_weight carries the
+    # PACT alpha L2 (paper §4; no elastic layers in this model, so the
+    # sown-losses sum is exactly the alpha penalty).
+    "dorefa_resnet20": _mk(
+        "dorefa_resnet20", w_bits=4, a_bits=4, a_quant="pact",
+        warm_start=True, elastic_weight=2e-4, steps=6000,
+    ),
     # Weights-only W4 variant: isolates the weight-quantization path, which
     # gates cleanly (the r4 ablation measured W4A32 within +-0.5% of fp32 at
     # every budget) — the implementation-correctness anchor for DoReFa,
@@ -94,6 +109,34 @@ SCHEME_CONFIGS = {
     "xnor_digits_a1": _mk(
         "xnor_digits_a1", w_bits=1, a_bits=1, batch_size=64, steps=1600
     ),
+    # --- r5 scheme-zoo completion (VERDICT r4 #6/#7): one trained REAL-data
+    # row per remaining scheme family, all CPU-cheap on sklearn digits. ---
+    # Stochastic BinaryConnect (arXiv:1511.00363 §2.3): fresh Bernoulli
+    # weight draws per step via the 'quant' rng; eval freezes to the
+    # deterministic sign twin (SURVEY §3.5 freeze-on-eval rule).
+    "binaryconnect_digits_stoch": _mk(
+        "binaryconnect_digits_stoch", w_bits=1, deterministic=False,
+        batch_size=64, steps=1600,
+    ),
+    # TernaryConnect deterministic ({-1,0,+1} with the 0.5 thresholds).
+    "ternary_digits": _mk(
+        "ternary_digits", w_bits=2, batch_size=64, steps=1600
+    ),
+    # Elastic binary penalty (loss-aware): fp32 weights trained with the
+    # W-shaped nearest-grid penalty, HARD-projected to the +-1 grid at eval
+    # (the end-to-end contract of penalty-based quantization).
+    "elastic_digits": _mk(
+        "elastic_digits", w_bits=1, elastic_weight=5e-3,
+        batch_size=64, steps=1600,
+    ),
+    # DoReFa W1A2G6 (the paper's headline AlexNet config, arXiv:1606.06160
+    # table 2) on the digits MLP: end-to-end evidence for the g_bits
+    # gradient-quantization path (VERDICT r4 #6). deterministic=False routes
+    # the 'quant' rng the stochastic gradient rounding needs.
+    "dorefa_digits_g6": _mk(
+        "dorefa_digits_g6", w_bits=1, a_bits=2, g_bits=6,
+        deterministic=False, batch_size=64, steps=1600,
+    ),
 }
 
 
@@ -117,6 +160,36 @@ def build_model(cfg: RunConfig, *, fp32: bool = False):
         return (
             models.BinaryConnectMLP(
                 hidden=512, deterministic=cfg.deterministic, quantized=q
+            ),
+            (8 * 8,),
+            "digits",
+        )
+    if cfg.config == "binaryconnect_digits_stoch":
+        return (
+            models.BinaryConnectMLP(
+                hidden=512, deterministic=False, quantized=q
+            ),
+            (8 * 8,),
+            "digits",
+        )
+    if cfg.config == "ternary_digits":
+        kind = "fp32" if fp32 else (
+            "ternary" if cfg.deterministic else "ternary_stoch"
+        )
+        return models.MLP(features=(512, 512, 10), layer=kind), (8 * 8,), "digits"
+    if cfg.config == "elastic_digits":
+        kind = "fp32" if fp32 else "elastic"
+        return (
+            models.MLP(features=(512, 512, 10), layer=kind, elastic_grid="binary"),
+            (8 * 8,),
+            "digits",
+        )
+    if cfg.config == "dorefa_digits_g6":
+        kind = "fp32" if fp32 else "dorefa"
+        return (
+            models.MLP(
+                features=(512, 512, 10), layer=kind, bits=cfg.w_bits,
+                a_bits=cfg.a_bits, g_bits=cfg.g_bits,
             ),
             (8 * 8,),
             "digits",
@@ -161,7 +234,8 @@ def build_model(cfg: RunConfig, *, fp32: bool = False):
     if cfg.config == "dorefa_resnet20":
         return (
             models.DorefaResNet20(
-                w_bits=cfg.w_bits, a_bits=cfg.a_bits, quantized=q
+                w_bits=cfg.w_bits, a_bits=cfg.a_bits, a_quant=cfg.a_quant,
+                quantized=q,
             ),
             (32, 32, 3),
             "cifar10",

@@ -13,6 +13,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -32,7 +33,60 @@ from pytorch_quantize_impls_tpu.utils.config import build_model
 from pytorch_quantize_impls_tpu.utils.metrics import setup_logging, log
 
 
-def run_one(cfg: RunConfig, *, fp32: bool, steps: int, lr: float) -> dict:
+def _warm_start(q_vars, fp_vars):
+    """Initialize quantized variables from the trained fp32 twin (standard
+    QAT fine-tuning, VERDICT r4 #1). The twins share module names except the
+    quantized wrappers nest their parameters one level deeper
+    (``DorefaConv -> 'conv' -> kernel``); strip those segments to match.
+    Leaves with no shape-matching twin (e.g. PACT alpha) keep their fresh
+    init. batch_stats transfer too (same BN scopes in both twins)."""
+    flat_fp = {
+        jax.tree_util.keystr(path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(fp_vars)[0]
+    }
+
+    def pick(path, leaf):
+        key = jax.tree_util.keystr(path)
+        for k in (key, key.replace("['conv']", "").replace("['dense']", "")):
+            v = flat_fp.get(k)
+            if v is not None and jnp.shape(v) == jnp.shape(leaf):
+                return jnp.asarray(v, jnp.asarray(leaf).dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(pick, q_vars)
+
+
+def _project_elastic(params):
+    """Hard-project elastic-trained kernels to the binary grid (the
+    end-to-end contract of penalty-based quantization: train fp with the
+    W-shaped penalty, deploy the projected weights).
+
+    Projection is BWN-style ``alpha_c * sign(w)`` with a per-out-channel
+    ``alpha = mean|w|`` — the standard binary deployment form the packed
+    xnor kernels execute natively (sign codes in the GEMM, alpha in the
+    epilogue). At full penalty convergence ``w -> ±1`` so ``alpha -> 1``
+    and this coincides with the pure ±1 grid; before full convergence it
+    measures the deployable accuracy without penalizing overall magnitude
+    the following BatchNorm absorbs anyway."""
+
+    def proj(path, leaf):
+        if jax.tree_util.keystr(path).endswith("['kernel']"):
+            alpha = jnp.mean(jnp.abs(leaf), axis=0, keepdims=True)
+            return (alpha * jnp.where(leaf >= 0, 1.0, -1.0)).astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(proj, params)
+
+
+def run_one(
+    cfg: RunConfig,
+    *,
+    fp32: bool,
+    steps: int,
+    lr: float,
+    init_variables=None,
+    return_variables: bool = False,
+) -> dict:
     """Train one config (quantized or fp32 twin) and return eval accuracy.
 
     Cosine-decayed Adam: BinaryConnect-style training needs LR decay to
@@ -52,6 +106,8 @@ def run_one(cfg: RunConfig, *, fp32: bool, steps: int, lr: float) -> dict:
     if not cfg.deterministic:
         rngs["quant"] = jax.random.PRNGKey(cfg.seed + 1)
     variables = model.init(rngs, x0, train=True)
+    if init_variables is not None:
+        variables = _warm_start(variables, init_variables)
     tx = optax.chain(
         optax.adam(optax.cosine_decay_schedule(lr, steps)),
         train.clip_quantized_weights(),
@@ -60,7 +116,8 @@ def run_one(cfg: RunConfig, *, fp32: bool, steps: int, lr: float) -> dict:
 
     mesh = parallel.make_mesh(None)
     state, step_fn = parallel.make_sharded_train_step(
-        state, mesh, has_quant_rng=not cfg.deterministic
+        state, mesh, has_quant_rng=not cfg.deterministic,
+        elastic_weight=cfg.elastic_weight,
     )
 
     t0 = time.time()
@@ -70,6 +127,9 @@ def run_one(cfg: RunConfig, *, fp32: bool, steps: int, lr: float) -> dict:
         xb, yb = parallel.shard_batch(batch, mesh)
         state, metrics = step_fn(state, (xb, yb))
     train_s = time.time() - t0
+
+    if not fp32 and cfg.config.startswith("elastic"):
+        state = state.replace(params=_project_elastic(state.params))
 
     eval_step = train.make_eval_step()
     xt, yt = test_data
@@ -81,7 +141,12 @@ def run_one(cfg: RunConfig, *, fp32: bool, steps: int, lr: float) -> dict:
         m = eval_step(state, (xb, yb))
         correct += float(m["accuracy"]) * len(xb)
     acc = correct / len(xt)
-    return {"accuracy": acc, "train_s": round(train_s, 1), "loss": float(metrics["loss"])}
+    out = {"accuracy": acc, "train_s": round(train_s, 1), "loss": float(metrics["loss"])}
+    if return_variables:
+        out["variables"] = {"params": jax.device_get(state.params)}
+        if state.batch_stats is not None:
+            out["variables"]["batch_stats"] = jax.device_get(state.batch_stats)
+    return out
 
 
 def main() -> int:
@@ -91,43 +156,89 @@ def main() -> int:
                    help="override per-config step budget (default: cfg.steps)")
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--configs", nargs="*", default=sorted(SCHEME_CONFIGS))
+    p.add_argument("--seeds", type=int, default=1,
+                   help="run each config at this many seeds (base..base+N-1) "
+                        "and gate the SEED-MEAN Δacc (VERDICT r4 #2: a gate "
+                        "a seed re-roll can flip is not evidence)")
+    p.add_argument("--warm-start", action="store_true",
+                   help="force QAT warm start from the fp32 twin for every "
+                        "config (configs can also opt in via cfg.warm_start)")
+    p.add_argument("--set", nargs="*", default=[], metavar="K=V",
+                   help="override RunConfig fields for every config, e.g. "
+                        "--set elastic_weight=0.02 warm_start=1")
     p.add_argument("--out", default=None, help="write a markdown report here")
     p.add_argument("--json-out", default=None)
     p.add_argument("--gate", type=float, default=None,
-                   help="exit 1 if any |Δacc| exceeds this (e.g. 0.005)")
+                   help="exit 1 if any seed-mean Δacc exceeds this (e.g. 0.005)")
     a = p.parse_args()
+
+    overrides = {}
+    ftypes = {f.name: f.type for f in dataclasses.fields(RunConfig)}
+    for kv in a.set:
+        k, v = kv.split("=", 1)
+        t = ftypes.get(k)
+        if t is None:
+            raise SystemExit(f"--set: unknown RunConfig field {k!r}")
+        overrides[k] = (
+            v if "str" in str(t) else
+            (bool(int(v)) if "bool" in str(t) else
+             (int(v) if "int" in str(t) else float(v)))
+        )
 
     rows = []
     for name in a.configs:
-        cfg = RunConfig(**SCHEME_CONFIGS[name])
-        steps = a.steps if a.steps is not None else cfg.steps
-        log.info("=== %s quantized (%d steps) ===", name, steps)
-        q = run_one(cfg, fp32=False, steps=steps, lr=a.lr)
-        log.info("=== %s fp32 twin ===", name)
-        f = run_one(cfg, fp32=True, steps=steps, lr=a.lr)
+        base = RunConfig(**{**SCHEME_CONFIGS[name], **overrides})
+        steps = a.steps if a.steps is not None else base.steps
+        warm = a.warm_start or base.warm_start
+        deltas, q_accs, f_accs = [], [], []
+        q_s = f_s = 0.0
+        for s in range(a.seeds):
+            cfg = dataclasses.replace(base, seed=base.seed + s)
+            log.info("=== %s fp32 twin (seed %d, %d steps) ===",
+                     name, cfg.seed, steps)
+            f = run_one(cfg, fp32=True, steps=steps, lr=a.lr,
+                        return_variables=warm)
+            log.info("=== %s quantized (seed %d%s) ===", name, cfg.seed,
+                     ", warm-started" if warm else "")
+            q = run_one(cfg, fp32=False, steps=steps, lr=a.lr,
+                        init_variables=f.get("variables") if warm else None)
+            deltas.append(q["accuracy"] - f["accuracy"])
+            q_accs.append(q["accuracy"])
+            f_accs.append(f["accuracy"])
+            q_s += q["train_s"]
+            f_s += f["train_s"]
+            log.info("%s seed %d: quant %.4f fp32 %.4f Δ %.4f", name, cfg.seed,
+                     q["accuracy"], f["accuracy"], deltas[-1])
         row = {
             "config": name,
-            "quant_acc": round(q["accuracy"], 4),
-            "fp32_acc": round(f["accuracy"], 4),
-            "delta_acc": round(q["accuracy"] - f["accuracy"], 4),
-            "quant_train_s": q["train_s"],
-            "fp32_train_s": f["train_s"],
+            "quant_acc": round(float(np.mean(q_accs)), 4),
+            "fp32_acc": round(float(np.mean(f_accs)), 4),
+            "delta_acc": round(float(np.mean(deltas)), 4),
+            "delta_spread": round(
+                float(np.max(deltas) - np.min(deltas)) / 2, 4
+            ),
+            "seeds": a.seeds,
+            "warm_start": bool(warm),
+            "deltas": [round(float(d), 4) for d in deltas],
+            "quant_train_s": round(q_s, 1),
+            "fp32_train_s": round(f_s, 1),
         }
         rows.append(row)
-        log.info("%s: quant %.4f fp32 %.4f Δ %.4f", name,
-                 row["quant_acc"], row["fp32_acc"], row["delta_acc"])
+        log.info("%s: mean Δ %.4f ±%.4f over %d seed(s)", name,
+                 row["delta_acc"], row["delta_spread"], a.seeds)
 
     real_data = data.datasets._data_dir() is not None
     header = (
         f"# Δ-accuracy report — per-config step budgets (cosine-decay Adam), "
         f"{'real' if real_data else 'synthetic'} MNIST/CIFAR "
         f"(digits config is always real), {jax.devices()[0].platform}\n\n"
-        "| config | quant acc | fp32 acc | Δacc | target |\n"
-        "|---|---|---|---|---|\n"
+        "| config | quant acc | fp32 acc | Δacc (seed mean) | ±spread | seeds | target |\n"
+        "|---|---|---|---|---|---|---|\n"
     )
     lines = [
         f"| {r['config']} | {r['quant_acc']:.4f} | {r['fp32_acc']:.4f} "
-        f"| {r['delta_acc']:+.4f} | {'PASS' if r['delta_acc'] >= -0.005 else 'FAIL'} |"
+        f"| {r['delta_acc']:+.4f} | ±{r['delta_spread']:.4f} | {r['seeds']} "
+        f"| {'PASS' if r['delta_acc'] >= -0.005 else 'FAIL'} |"
         for r in rows
     ]
     report = header + "\n".join(lines) + "\n"

@@ -282,6 +282,7 @@ def bench_decode(rows, quick=False):
     v = lm.init({"params": jax.random.PRNGKey(0)}, toks1, train=False)
     packed = infer.pack_model(lm, v, toks1)
     prepared = infer.prepare(packed)
+    fm = infer.export_fused_decode(lm, v)
     md = lm.clone(decode=True)
 
     def apply_fake(variables, t):
@@ -293,17 +294,25 @@ def bench_decode(rows, quick=False):
     def apply_prepared(variables, t):
         return packed_apply(md, variables, prepared, t, mutable=_MUT)
 
+    def apply_fused(variables, t):
+        # the fused program rides as variables["params"] (weights are jit
+        # ARGS, not closure constants — r4 relay compile-upload rule)
+        return infer.fused_decode_apply(
+            variables["params"], variables.get("cache"), t
+        )
+
     # Headroom for the on-device decode chain: 2N steps must fit the cache.
     chain_cap = (lm.max_len - prompt_len - 8) // 2
 
-    for label, ap in (
-        ("fake-quant", apply_fake),
-        ("packed", apply_packed),  # 1-bit/2-bit planes resident in HBM
-        ("prepared", apply_prepared),  # decoded int8 resident (engine mode)
+    for label, ap, pp in (
+        ("fake-quant", apply_fake, v["params"]),
+        ("packed", apply_packed, v["params"]),  # 1-bit planes resident
+        ("prepared", apply_prepared, v["params"]),  # int8 resident (engine)
+        ("fused", apply_fused, fm),  # r5 fused step (VERDICT r4 #4)
     ):
         cb = make_chained_bench(repeats=5)
         tpre, spre = cb(
-            lambda t, p, ap=ap: ap({"params": p}, t), toks1, v["params"]
+            lambda t, p, ap=ap: ap({"params": p}, t), toks1, pp
         )
         rows.append(
             ("decode", f"{label} prefill {prompt_len} tok (ms)",
@@ -316,7 +325,7 @@ def bench_decode(rows, quick=False):
                 rng.integers(0, lm.vocab, (b, prompt_len)), jnp.int32
             )
             _, st = jax.jit(lambda p, t, ap=ap: ap({"params": p}, t))(
-                v["params"], tb
+                pp, tb
             )
             cache = st["cache"]
             cur = jnp.zeros((b,), jnp.int32)
@@ -343,11 +352,11 @@ def bench_decode(rows, quick=False):
 
             def run(n):
                 t0 = time.perf_counter()
-                _force(chain(v["params"], cache, cur,
+                _force(chain(pp, cache, cur,
                              jnp.asarray(n, jnp.int32)))
                 return time.perf_counter() - t0
 
-            _force(chain(v["params"], cache, cur, jnp.asarray(2, jnp.int32)))
+            _force(chain(pp, cache, cur, jnp.asarray(2, jnp.int32)))
             est = max((run(16) - run(8)) / 8, 1e-9)
             n = min(max(8, int(0.5 / est)), chain_cap)
             ests = []
