@@ -115,9 +115,14 @@ def run_one(
     state = train.QuantTrainState.create_for(model, variables, tx, seed=cfg.seed)
 
     mesh = parallel.make_mesh(None)
+    if cfg.elastic_ramp and cfg.elastic_weight:
+        lam_max, total = float(cfg.elastic_weight), float(steps)
+        ew = lambda step: lam_max * jnp.minimum(step / total, 1.0)  # noqa: E731
+    else:
+        ew = cfg.elastic_weight
     state, step_fn = parallel.make_sharded_train_step(
         state, mesh, has_quant_rng=not cfg.deterministic,
-        elastic_weight=cfg.elastic_weight,
+        elastic_weight=ew,
     )
 
     t0 = time.time()
@@ -154,7 +159,8 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=None,
                    help="override per-config step budget (default: cfg.steps)")
-    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--lr", type=float, default=None,
+               help="override every config's lr (default: cfg.lr)")
     p.add_argument("--configs", nargs="*", default=sorted(SCHEME_CONFIGS))
     p.add_argument("--seeds", type=int, default=1,
                    help="run each config at this many seeds (base..base+N-1) "
@@ -189,6 +195,7 @@ def main() -> int:
     for name in a.configs:
         base = RunConfig(**{**SCHEME_CONFIGS[name], **overrides})
         steps = a.steps if a.steps is not None else base.steps
+        lr = a.lr if a.lr is not None else base.lr
         warm = a.warm_start or base.warm_start
         deltas, q_accs, f_accs = [], [], []
         q_s = f_s = 0.0
@@ -196,11 +203,11 @@ def main() -> int:
             cfg = dataclasses.replace(base, seed=base.seed + s)
             log.info("=== %s fp32 twin (seed %d, %d steps) ===",
                      name, cfg.seed, steps)
-            f = run_one(cfg, fp32=True, steps=steps, lr=a.lr,
+            f = run_one(cfg, fp32=True, steps=steps, lr=lr,
                         return_variables=warm)
             log.info("=== %s quantized (seed %d%s) ===", name, cfg.seed,
                      ", warm-started" if warm else "")
-            q = run_one(cfg, fp32=False, steps=steps, lr=a.lr,
+            q = run_one(cfg, fp32=False, steps=steps, lr=lr,
                         init_variables=f.get("variables") if warm else None)
             deltas.append(q["accuracy"] - f["accuracy"])
             q_accs.append(q["accuracy"])
