@@ -30,6 +30,7 @@ class MLP(fnn.Module):
     # step — arXiv:1606.06160 eq. 12).
     a_bits: int = 0
     g_bits: int = 0
+    a_quant: str = "fixed"  # dorefa input-quant flavor: fixed clip | pact
     fsr: float = 1.0
     # Elastic-only: grid for the sown penalty (nn/elastic.py).
     elastic_grid: str = "binary"
@@ -58,7 +59,7 @@ class MLP(fnn.Module):
         if kind == "dorefa":
             return qnn.LinearDorefa(
                 features=f, bits=self.bits, a_bits=self.a_bits or None,
-                g_bits=self.g_bits or None, **dt
+                g_bits=self.g_bits or None, a_quant=self.a_quant, **dt
             )
         if kind == "elastic":
             return qnn.ElasticLinear(

@@ -205,7 +205,7 @@ def build_model(cfg: RunConfig, *, fp32: bool = False):
         return (
             models.MLP(
                 features=(512, 512, 10), layer=kind, bits=cfg.w_bits,
-                a_bits=cfg.a_bits, g_bits=cfg.g_bits,
+                a_bits=cfg.a_bits, g_bits=cfg.g_bits, a_quant=cfg.a_quant,
             ),
             (8 * 8,),
             "digits",

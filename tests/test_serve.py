@@ -114,3 +114,43 @@ def test_mesh_sharded_serving(packed_mlp):
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
     finally:
         engine.shutdown()
+
+
+def test_fused_chain_backend_matches_model():
+    """VERDICT r4 #9: the engine executing a CNN FusedChain as its backend
+    must serve the same logits the fake-quant model computes."""
+    import zlib
+
+    model = models.XNORConvNet(
+        widths=(8, 8), binarize_inputs=True, use_input_scale_map=False
+    )
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 1))
+    v = model.init({"params": jax.random.PRNGKey(1)}, x0, train=False)
+
+    def jitter(path, leaf):
+        name = jax.tree_util.keystr(path)
+        k = jax.random.fold_in(
+            jax.random.PRNGKey(2), zlib.crc32(name.encode()) % (2**31)
+        )
+        if "batch_stats" in name and "var" in name:
+            return jnp.abs(jax.random.normal(k, leaf.shape)) + 0.1
+        if "batch_stats" in name and "mean" in name:
+            return jax.random.normal(k, leaf.shape) * 0.3
+        return leaf
+
+    v = jax.tree_util.tree_map_with_path(jitter, v)
+    chain = infer.export_fused_chain(model, v, first_dtype=jnp.float32)
+    engine = InferenceEngine.from_fused_chain(
+        chain, (8, 8, 1), batch_sizes=(1, 4), max_delay_ms=2
+    )
+    try:
+        xs = np.random.default_rng(3).normal(size=(6, 8, 8, 1)).astype(
+            np.float32
+        )
+        futures = [engine.submit(x) for x in xs]
+        got = np.stack([f.result(timeout=60) for f in futures])
+        ref = np.asarray(model.apply(v, jnp.asarray(xs), train=False))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        assert engine.stats.requests == 6
+    finally:
+        engine.shutdown()
