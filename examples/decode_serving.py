@@ -78,6 +78,47 @@ def main() -> int:
     )
     assert list(outs[0]) == list(np.asarray(ref)[0]), "engine != generate"
     print("parity vs serve.generate: OK")
+
+    # --- FUSED backend (r5): the engine executing the fused decode step —
+    # single-GEMM QKV, one-pass int8-cache attention kernel, threshold-
+    # folded FFN boundary (infer/fused_decode.py). Fastest decode path at
+    # batch >= 8 where the generic path is cache-dequant-bandwidth-bound.
+    fm = infer.export_fused_decode(lm, variables)
+    feng = serve.DecodeEngine(
+        lm, variables["params"], fused=fm, n_slots=n_slots,
+        prompt_buckets=(8, 16, 32), temperature=0.0,
+    )
+    try:
+        t0 = time.perf_counter()
+        futures = [feng.submit(p, max_new=16) for p in prompts]
+        fouts = [f.result(timeout=600) for f in futures]
+        dt = time.perf_counter() - t0
+    finally:
+        feng.shutdown()
+    fs = feng.stats
+    agree = np.mean([
+        np.mean(np.asarray(a) == np.asarray(b)) for a, b in zip(outs, fouts)
+    ])
+    print(f"fused backend: {fs.tokens} tokens in {dt:.2f}s "
+          f"({fs.tokens/dt:,.0f} tok/s incl. compile), "
+          f"token agreement vs packed {agree:.0%}")
+
+    # The binding parity contract is LOGITS-level (integer GEMMs are exact;
+    # the fused attention/LN only reorder f32 ops): greedy tokens can flip
+    # at near-tie logits on an UNTRAINED net and then diverge, so assert
+    # the prefill logits instead (tests/test_fused_decode.py asserts the
+    # stepwise version).
+    from pytorch_quantize_impls_tpu.serve.generate import _MUT
+
+    toks0 = jnp.asarray(prompts[0])[None]
+    ref_logits, _ = lm.clone(decode=True).apply(
+        {"params": variables["params"]}, toks0, train=False, mutable=_MUT
+    )
+    fl, _ = infer.fused_decode_apply(fm, None, toks0)
+    np.testing.assert_allclose(
+        np.asarray(fl), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+    print("fused logits parity vs fake-quant: OK")
     return 0
 
 
