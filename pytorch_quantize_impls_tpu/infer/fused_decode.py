@@ -42,6 +42,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from pytorch_quantize_impls_tpu.kernels.decode_attention import decode_attention
+from pytorch_quantize_impls_tpu.kernels.xnor_gemm import (
+    binary_gemm, pack_binary_weights,
+)
 from pytorch_quantize_impls_tpu.ops import kv_cache as kvlib
 
 
@@ -85,19 +88,31 @@ def _ln(x, scale, bias, eps):
 
 
 def _gemm_i8(c, w):
-    """±1 int8 codes @ int8 weight -> f32 (exact integer accumulate)."""
+    """±1 int8 codes @ weight -> f32 (exact integer accumulate).
+
+    ``w`` is either int8 ±1 codes (XLA int8 dot) or planar-packed uint32
+    1-bit planes (Pallas ``binary_gemm`` — 8x less weight HBM traffic per
+    step, paid for with the in-VMEM unpack; both are exact)."""
+    if w.dtype == jnp.uint32:
+        return binary_gemm(c, w, None, out_dtype=jnp.float32)
     return jax.lax.dot_general(
         c, w, (((c.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
 
 
-def export_fused_decode(model, variables) -> FusedDecodeModel:
+def export_fused_decode(model, variables, *, weights: str = "int8") -> FusedDecodeModel:
     """Build the fused decode program from a trained ``QuantTransformerLM``.
 
     Requires ``scheme='binary', w_bits=1, a_bits=1`` (the 1-bit serving
     configuration), dense FFN (no MoE), quantized KV cache.
+
+    ``weights``: ``"int8"`` keeps decoded ±1 int8 codes resident (XLA int8
+    dot path); ``"packed"`` keeps planar 1-bit uint32 planes resident
+    (Pallas ``binary_gemm``, 8x less weight traffic per decode step).
     """
+    if weights not in ("int8", "packed"):
+        raise ValueError(f"weights must be 'int8' or 'packed', got {weights!r}")
     if model.scheme != "binary" or model.w_bits != 1 or model.a_bits != 1:
         raise ValueError(
             "fused decode supports the binary W1A1 serving config; got "
@@ -108,6 +123,12 @@ def export_fused_decode(model, variables) -> FusedDecodeModel:
     if model.kv_bits is None:
         raise ValueError("fused decode requires a quantized KV cache")
     p = variables["params"]
+
+    def mk_w(codes_i8):
+        if weights == "packed":
+            return pack_binary_weights(codes_i8.astype(jnp.float32))
+        return codes_i8
+
     layers = []
     for i in range(model.n_layers):
         bp = p[f"block{i}"]
@@ -119,15 +140,15 @@ def export_fused_decode(model, variables) -> FusedDecodeModel:
         d_ff = bp["ffn_in"]["kernel"].shape[1]
         layers.append(
             FusedDecodeLayer(
-                w_qkv=w_qkv,
-                w_out=_sign_i8(ap["out"]["kernel"]),
-                w1=_sign_i8(bp["ffn_in"]["kernel"]),
+                w_qkv=mk_w(w_qkv),
+                w_out=mk_w(_sign_i8(ap["out"]["kernel"])),
+                w1=mk_w(_sign_i8(bp["ffn_in"]["kernel"])),
                 thr1=(
                     -b1.astype(jnp.float32)
                     if b1 is not None
                     else jnp.zeros((d_ff,), jnp.float32)
                 ),
-                w2=_sign_i8(bp["ffn_out"]["kernel"]),
+                w2=mk_w(_sign_i8(bp["ffn_out"]["kernel"])),
                 b2=(
                     bp["ffn_out"]["bias"].astype(jnp.float32)
                     if "bias" in bp["ffn_out"]

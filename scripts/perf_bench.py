@@ -283,6 +283,7 @@ def bench_decode(rows, quick=False):
     packed = infer.pack_model(lm, v, toks1)
     prepared = infer.prepare(packed)
     fm = infer.export_fused_decode(lm, v)
+    fmp = infer.export_fused_decode(lm, v, weights="packed")
     md = lm.clone(decode=True)
 
     def apply_fake(variables, t):
@@ -309,6 +310,7 @@ def bench_decode(rows, quick=False):
         ("packed", apply_packed, v["params"]),  # 1-bit planes resident
         ("prepared", apply_prepared, v["params"]),  # int8 resident (engine)
         ("fused", apply_fused, fm),  # r5 fused step (VERDICT r4 #4)
+        ("fused-packed", apply_fused, fmp),  # 1-bit-resident weights
     ):
         cb = make_chained_bench(repeats=5)
         tpre, spre = cb(

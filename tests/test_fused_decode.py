@@ -124,3 +124,22 @@ def test_engine_fused_rejects_packed_combo(lm_and_vars):
     fm = infer.export_fused_decode(lm, v)
     with pytest.raises(ValueError, match="exclusive"):
         serve.DecodeEngine(lm, v["params"], fused=fm, packed={})
+
+
+def test_fused_decode_packed_weights_exact(lm_and_vars):
+    """The 1-bit-resident (planar packed, Pallas binary_gemm) weight option
+    must be bit-exact with the int8-resident export — both are exact
+    integer GEMMs over the same ±1 codes."""
+    lm, v = lm_and_vars
+    fi = infer.export_fused_decode(lm, v, weights="int8")
+    fp = infer.export_fused_decode(lm, v, weights="packed")
+    toks = jnp.asarray(
+        np.random.default_rng(4).integers(0, lm.vocab, (2, 8)), jnp.int32
+    )
+    li, ci = infer.fused_decode_apply(fi, None, toks)
+    lp, cp = infer.fused_decode_apply(fp, None, toks)
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(lp))
+    t = jnp.argmax(li[:, -1], -1).astype(jnp.int32)
+    li2, _ = infer.fused_decode_apply(fi, ci["cache"], t[:, None])
+    lp2, _ = infer.fused_decode_apply(fp, cp["cache"], t[:, None])
+    np.testing.assert_array_equal(np.asarray(li2), np.asarray(lp2))
