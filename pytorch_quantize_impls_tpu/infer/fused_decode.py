@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from pytorch_quantize_impls_tpu.kernels.decode_attention import decode_attention
+from pytorch_quantize_impls_tpu.kernels.int8_matmul import int8_gemm
 from pytorch_quantize_impls_tpu.kernels.xnor_gemm import (
     binary_gemm, pack_binary_weights,
 )
@@ -90,15 +91,14 @@ def _ln(x, scale, bias, eps):
 def _gemm_i8(c, w):
     """±1 int8 codes @ weight -> f32 (exact integer accumulate).
 
-    ``w`` is either int8 ±1 codes (XLA int8 dot) or planar-packed uint32
-    1-bit planes (Pallas ``binary_gemm`` — 8x less weight HBM traffic per
-    step, paid for with the in-VMEM unpack; both are exact)."""
+    ``w`` is either int8 ±1 codes (Pallas ``int8_gemm`` — XLA's own int8
+    dot widens through fp32 on v5e, ~10x slower; kernels/__init__) or
+    planar-packed uint32 1-bit planes (Pallas ``binary_gemm`` — 8x less
+    weight HBM traffic per step, paid with the in-VMEM unpack). Both are
+    exact."""
     if w.dtype == jnp.uint32:
         return binary_gemm(c, w, None, out_dtype=jnp.float32)
-    return jax.lax.dot_general(
-        c, w, (((c.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
+    return int8_gemm(c, w, out_dtype=jnp.float32)
 
 
 def export_fused_decode(model, variables, *, weights: str = "int8") -> FusedDecodeModel:

@@ -54,3 +54,6 @@ from pytorch_quantize_impls_tpu.kernels.shift_matmul import (  # noqa: F401
     shift_gemm_ws,
 )
 from pytorch_quantize_impls_tpu.kernels.conv import packed_conv2d  # noqa: F401
+from pytorch_quantize_impls_tpu.kernels.decode_attention import (  # noqa: F401
+    decode_attention,
+)

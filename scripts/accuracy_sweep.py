@@ -116,7 +116,10 @@ def run_one(
 
     mesh = parallel.make_mesh(None)
     if cfg.elastic_ramp and cfg.elastic_weight:
-        lam_max, total = float(cfg.elastic_weight), float(steps)
+        # reach lambda_max at 60% of budget, HOLD for the rest: the pull-to-
+        # grid phase needs time at full strength (ramping to max only at the
+        # final step measured 0.9805 vs 0.9833 with the hold — r5)
+        lam_max, total = float(cfg.elastic_weight), 0.6 * float(steps)
         ew = lambda step: lam_max * jnp.minimum(step / total, 1.0)  # noqa: E731
     else:
         ew = cfg.elastic_weight

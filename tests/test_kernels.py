@@ -289,3 +289,35 @@ def test_packed_conv_log_parity_direct():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
     )
+
+
+def test_decode_attention_matches_dequant_reference():
+    """One-pass int8-cache attention (kernels/decode_attention.py): folding
+    the per-(position, head) dequant scales into the score/attention
+    vectors must match the materialize-then-einsum reference, including the
+    per-slot cursor mask."""
+    from pytorch_quantize_impls_tpu.kernels.decode_attention import (
+        decode_attention,
+    )
+
+    b, h, cl, hd = 3, 4, 64, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, hd)), jnp.float32)
+    kc = jnp.asarray(rng.integers(-127, 128, (b, h, cl, hd)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-127, 128, (b, h, cl, hd)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (b, h, cl)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (b, h, cl)), jnp.float32)
+    lens = jnp.asarray([5, 30, 64])
+    bias = jnp.where(
+        jnp.arange(cl)[None, :] < lens[:, None], 0.0, -1e30
+    ).astype(jnp.float32)
+    got = decode_attention(q, kc, ks, vc, vs, bias)
+
+    kf = kc.astype(jnp.float32) * ks[..., None]
+    vf = vc.astype(jnp.float32) * vs[..., None]
+    s = jnp.einsum("bhd,bhkd->bhk", q, kf) / np.sqrt(hd) + bias[:, None, :]
+    a = jax.nn.softmax(s, -1)
+    ref = jnp.einsum("bhk,bhkd->bhd", a, vf)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
