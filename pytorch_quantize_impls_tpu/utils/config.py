@@ -137,6 +137,14 @@ SCHEME_CONFIGS = {
     "ternary_digits": _mk(
         "ternary_digits", w_bits=2, batch_size=64, steps=3200
     ),
+    # TernaryConnect stochastic (the paper's headline variant, §2.2):
+    # two-sided Bernoulli draws per step; eval uses the clipped master
+    # (E[T(w)] = clip(w)). Unlike stochastic BC this needs NO lr boost —
+    # the zero level keeps sampling noise proportional to |w|.
+    "ternary_digits_stoch": _mk(
+        "ternary_digits_stoch", w_bits=2, deterministic=False,
+        batch_size=64, steps=3200,
+    ),
     # Elastic binary penalty (loss-aware): fp32 weights trained with the
     # W-shaped nearest-grid penalty, HARD-projected (BWN-style alpha*sign)
     # at eval — the end-to-end contract of penalty-based quantization.
@@ -193,7 +201,7 @@ def build_model(cfg: RunConfig, *, fp32: bool = False):
             (8 * 8,),
             "digits",
         )
-    if cfg.config == "ternary_digits":
+    if cfg.config in ("ternary_digits", "ternary_digits_stoch"):
         kind = "fp32" if fp32 else (
             "ternary" if cfg.deterministic else "ternary_stoch"
         )
