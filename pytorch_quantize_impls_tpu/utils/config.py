@@ -71,7 +71,12 @@ SCHEME_CONFIGS = {
     # training floor stabilizes on the discriminative synthetic gate (the
     # steps/width scaling tables live in ACCURACY.md; binary nets converge
     # ~3x slower than their fp32 twins — DESIGN.md §3c).
-    "bnn_lenet": _mk("bnn_lenet", w_bits=1, a_bits=1, width=128, steps=8000),
+    # steps=12000 (r5): the 8000-step r4 gate point was un-converged
+    # (-4.9% @8k vs -3.4% @12k). QAT warm start measured EXACTLY no effect
+    # here (-0.0344 warm and cold) — sign(w) + binarized activations reset
+    # the training dynamics, so initialization does not transfer; budget
+    # and width are the only levers (see ACCURACY.md scaling table).
+    "bnn_lenet": _mk("bnn_lenet", w_bits=1, a_bits=1, width=128, steps=12000),
     "xnor_cifar": _mk("xnor_cifar", w_bits=1, a_bits=1, steps=12000),
     # W4A4 with conv-input act quant (see models/resnet.py r4 note) and the
     # r5 standard recipe (VERDICT r4 #1): PACT learnable per-layer clip on
