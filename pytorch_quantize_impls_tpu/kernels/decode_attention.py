@@ -38,18 +38,25 @@ from pytorch_quantize_impls_tpu.kernels import common
 
 
 def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, o_ref, *, hd: int):
+    # Block layouts respect the Mosaic rule (last two block dims divisible
+    # by (8, 128) or equal to the array dims): scales ride as (b,h,1,cl)
+    # and the mask bias as (b,1,cl), so their trailing (1, cl) blocks are
+    # legal for any b, h.
     q = q_ref[0, 0].astype(jnp.float32)  # (1, hd) — kept 2D for the MXU
     k = kc_ref[0, 0].astype(jnp.float32)  # (cl, hd)
     # scores_i = (k_i . q) * k_scale_i / sqrt(hd) + bias_i
     s = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (cl, 1)
-    s = s[:, 0] * ks_ref[0, 0] * jax.lax.rsqrt(jnp.float32(hd)) + bias_ref[0]
+    s = (
+        s[:, 0] * ks_ref[0, 0, 0] * jax.lax.rsqrt(jnp.float32(hd))
+        + bias_ref[0, 0]
+    )
     m = jnp.max(s)
     p = jnp.exp(s - m)  # (cl,)
     denom = jnp.sum(p)
     # fold the v dequant scale into the (unnormalized) attention weights
-    pv = (p * vs_ref[0, 0])[None, :]  # (1, cl)
+    pv = (p * vs_ref[0, 0, 0])[None, :]  # (1, cl)
     v = vc_ref[0, 0].astype(jnp.float32)  # (cl, hd)
     ctx = jax.lax.dot_general(
         pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -87,6 +94,9 @@ def decode_attention(
     assert k_codes.shape == (b, h, cl, hd), (k_codes.shape, (b, h, cl, hd))
     assert mask_bias.shape == (b, cl), mask_bias.shape
     q3 = q.reshape(b, h, 1, hd)
+    ks4 = k_scale.reshape(b, h, 1, cl)
+    vs4 = v_scale.reshape(b, h, 1, cl)
+    bias3 = mask_bias.reshape(b, 1, cl)
     grid = (b, h)
     out = pl.pallas_call(
         functools.partial(_kernel, hd=hd),
@@ -94,13 +104,13 @@ def decode_attention(
         in_specs=[
             pl.BlockSpec((1, 1, 1, hd), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, cl, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, cl), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, 1, cl), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, cl, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, cl), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, cl), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, 1, cl), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, cl), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, hd), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, 1, hd), jnp.float32),
         interpret=interpret,
-    )(q3, k_codes, k_scale, v_codes, v_scale, mask_bias)
+    )(q3, k_codes, ks4, v_codes, vs4, bias3)
     return out.reshape(b, h, hd)
