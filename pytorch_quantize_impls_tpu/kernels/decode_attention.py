@@ -38,25 +38,24 @@ from pytorch_quantize_impls_tpu.kernels import common
 
 
 def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, o_ref, *, hd: int):
-    # Block layouts respect the Mosaic rule (last two block dims divisible
-    # by (8, 128) or equal to the array dims): scales ride as (b,h,1,cl)
-    # and the mask bias as (b,1,cl), so their trailing (1, cl) blocks are
-    # legal for any b, h.
-    q = q_ref[0, 0].astype(jnp.float32)  # (1, hd) — kept 2D for the MXU
+    # Mosaic discipline (both learned on real-TPU lowering, invisible to
+    # the CPU interpreter): (a) block layouts keep trailing (1, cl) dims
+    # equal to the array dims — scales ride as (b,h,1,cl), the mask bias
+    # as (b,1,cl); (b) EVERYTHING stays rank-2 with keepdims reductions —
+    # rank-1 intermediates hit "Not implemented: Offset change" in
+    # vector.multi_reduction.
+    q = q_ref[0, 0].astype(jnp.float32)  # (1, hd)
     k = kc_ref[0, 0].astype(jnp.float32)  # (cl, hd)
-    # scores_i = (k_i . q) * k_scale_i / sqrt(hd) + bias_i
+    # scores = (q . k_i) * k_scale_i / sqrt(hd) + bias_i   — (1, cl)
     s = jax.lax.dot_general(
-        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (cl, 1)
-    s = (
-        s[:, 0] * ks_ref[0, 0, 0] * jax.lax.rsqrt(jnp.float32(hd))
-        + bias_ref[0, 0]
-    )
-    m = jnp.max(s)
-    p = jnp.exp(s - m)  # (cl,)
-    denom = jnp.sum(p)
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (1, cl)
+    s = s * ks_ref[0, 0] * jax.lax.rsqrt(jnp.float32(hd)) + bias_ref[0]
+    m = jnp.max(s, axis=1, keepdims=True)  # (1, 1)
+    p = jnp.exp(s - m)  # (1, cl)
+    denom = jnp.sum(p, axis=1, keepdims=True)  # (1, 1)
     # fold the v dequant scale into the (unnormalized) attention weights
-    pv = (p * vs_ref[0, 0, 0])[None, :]  # (1, cl)
+    pv = p * vs_ref[0, 0]  # (1, cl)
     v = vc_ref[0, 0].astype(jnp.float32)  # (cl, hd)
     ctx = jax.lax.dot_general(
         pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
