@@ -92,7 +92,7 @@ def _calibrate_roundtrip() -> float:
     return min(ts)
 
 
-def _bench_samples(fn, *args, repeats: int = 5) -> list:
+def _bench_samples(fn, *args, repeats: int = 0) -> list:
     """Per-repeat seconds/iteration (device time), differential:
     (T(2N)-T(N))/N.
 
@@ -112,6 +112,8 @@ def _bench_samples(fn, *args, repeats: int = 5) -> list:
     outputs, penalizing exactly the kernels under test. Whole models don't
     have this problem (tiny logits, deep internal dependency). So kernel
     rates keep the Python-dispatch differential with auto-scaled windows."""
+    if not repeats:
+        repeats = 5 if _CPU_FALLBACK else 7
     _force(fn(*args))  # compile + settle
 
     def run(n: int) -> float:
@@ -124,10 +126,16 @@ def _bench_samples(fn, *args, repeats: int = 5) -> list:
 
     n = ITERS
     est = max((run(2 * n) - run(n)) / n, 1e-9)  # pilot
-    # Auto-scale the differential window to ~0.25 s of device time: fixed
-    # N=50 gives ~20-200 ms chains whose difference rides the relay
-    # constant's jitter (the BENCH_r01->r02 "5% drift" was exactly this).
-    n = min(max(n, int(0.25 / est)), 2000)
+    # Auto-scale the differential window: fixed N=50 gives ~20-200 ms
+    # chains whose difference rides the relay constant's jitter (the
+    # BENCH_r01->r02 "5% drift" was exactly this).
+    # r5 (TPU only): 0.5 s windows + 7 repeats — the r4 driver run carried
+    # ±48%/±191% on the secondary (ws/decoded) rows with 0.25 s windows;
+    # doubling the window halves the relay-jitter share and the extra
+    # repeats stabilize the median (VERDICT r4 #8). The CPU fallback keeps
+    # the smaller budget (its GEMMs are seconds each).
+    window = 0.25 if _CPU_FALLBACK else 0.5
+    n = min(max(n, int(window / est)), 4000)
 
     ests = []
     for _ in range(repeats):

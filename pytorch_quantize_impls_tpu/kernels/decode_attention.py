@@ -47,8 +47,14 @@ def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, o_ref, *, hd: int):
     q = q_ref[0, 0].astype(jnp.float32)  # (1, hd)
     k = kc_ref[0, 0].astype(jnp.float32)  # (cl, hd)
     # scores = (q . k_i) * k_scale_i / sqrt(hd) + bias_i   — (1, cl)
+    # HIGHEST precision: the MXU's default bf16 passes cost ~3% ctx error
+    # through the softmax (measured on-chip); attention here is bandwidth-
+    # bound (~260K MACs against 256KB of cache reads per program), so the
+    # 3-pass f32 multiply is free in wall-clock and makes the kernel MORE
+    # precise than the model's default-precision einsum.
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (1, cl)
     s = s * ks_ref[0, 0] * jax.lax.rsqrt(jnp.float32(hd)) + bias_ref[0]
     m = jnp.max(s, axis=1, keepdims=True)  # (1, 1)
@@ -58,7 +64,8 @@ def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, o_ref, *, hd: int):
     pv = p * vs_ref[0, 0]  # (1, cl)
     v = vc_ref[0, 0].astype(jnp.float32)  # (cl, hd)
     ctx = jax.lax.dot_general(
-        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (1, hd)
     o_ref[0, 0] = (ctx / denom).astype(o_ref.dtype)
 
