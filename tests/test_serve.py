@@ -154,3 +154,23 @@ def test_fused_chain_backend_matches_model():
         assert engine.stats.requests == 6
     finally:
         engine.shutdown()
+
+
+def test_fused_resnet_backend_matches_model():
+    model = models.DorefaResNet20(w_bits=4, a_bits=4, width=8)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 3))
+    v = model.init({"params": jax.random.PRNGKey(5)}, x0, train=False)
+    net = infer.export_fused_resnet20(model, v, first_dtype=jnp.float32)
+    engine = InferenceEngine.from_fused_resnet(
+        net, (16, 16, 3), batch_sizes=(1, 4), max_delay_ms=2
+    )
+    try:
+        xs = np.random.default_rng(6).normal(size=(5, 16, 16, 3)).astype(
+            np.float32
+        )
+        futures = [engine.submit(x) for x in xs]
+        got = np.stack([f.result(timeout=60) for f in futures])
+        ref = np.asarray(model.apply(v, jnp.asarray(xs), train=False))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    finally:
+        engine.shutdown()
