@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from pytorch_quantize_impls_tpu.kernels import common
 
 
-def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, o_ref, *, hd: int):
+def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, o_ref, *, hd: int,
+            precision):
     # Mosaic discipline (both learned on real-TPU lowering, invisible to
     # the CPU interpreter): (a) block layouts keep trailing (1, cl) dims
     # equal to the array dims — scales ride as (b,h,1,cl), the mask bias
@@ -47,14 +48,9 @@ def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, o_ref, *, hd: int):
     q = q_ref[0, 0].astype(jnp.float32)  # (1, hd)
     k = kc_ref[0, 0].astype(jnp.float32)  # (cl, hd)
     # scores = (q . k_i) * k_scale_i / sqrt(hd) + bias_i   — (1, cl)
-    # HIGHEST precision: the MXU's default bf16 passes cost ~3% ctx error
-    # through the softmax (measured on-chip); attention here is bandwidth-
-    # bound (~260K MACs against 256KB of cache reads per program), so the
-    # 3-pass f32 multiply is free in wall-clock and makes the kernel MORE
-    # precise than the model's default-precision einsum.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # (1, cl)
     s = s * ks_ref[0, 0] * jax.lax.rsqrt(jnp.float32(hd)) + bias_ref[0]
     m = jnp.max(s, axis=1, keepdims=True)  # (1, 1)
@@ -65,12 +61,12 @@ def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, o_ref, *, hd: int):
     v = vc_ref[0, 0].astype(jnp.float32)  # (cl, hd)
     ctx = jax.lax.dot_general(
         pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # (1, hd)
     o_ref[0, 0] = (ctx / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def decode_attention(
     q: jax.Array,
     k_codes: jax.Array,
@@ -80,6 +76,7 @@ def decode_attention(
     mask_bias: jax.Array,
     *,
     interpret: Optional[bool] = None,
+    precision=None,
 ) -> jax.Array:
     """One-token attention over the quantized cache.
 
@@ -90,6 +87,15 @@ def decode_attention(
       k_scale/v_scale: (b, h, cl) f32 per-(position, head) dequant scales.
       mask_bias: (b, cl) f32 additive bias, 0 where the position is
         attendable and -1e30 where not.
+      precision: dot precision for the score/context matvecs. Default
+        (None = fastest bf16 passes) carries ~2e-2 relative ctx noise —
+        measured on-chip to be EXACTLY the bf16-pass noise the model's own
+        default-precision einsum attention has (refs differ from the exact
+        answer by the same 2.1e-2), so it is not a degradation vs the path
+        it replaces. ``jax.lax.Precision.HIGHEST`` makes the kernel
+        f32-exact (measured 2e-6) but costs ~35% tok/s at batch 8-32: the
+        (1, hd) matvecs are MXU-pass-bound, so 3-pass multiplies are not
+        free here.
     Returns:
       (b, h, hd) f32 attention context.
     """
@@ -105,7 +111,7 @@ def decode_attention(
     bias3 = mask_bias.reshape(b, 1, cl)
     grid = (b, h)
     out = pl.pallas_call(
-        functools.partial(_kernel, hd=hd),
+        functools.partial(_kernel, hd=hd, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 1, hd), lambda i, j: (i, j, 0, 0)),
