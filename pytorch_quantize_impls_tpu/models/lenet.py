@@ -19,6 +19,9 @@ class BNNLeNet(fnn.Module):
     classes: int = 10
     quantized: bool = True
     width: int = 32
+    # Learnable per-input-channel scale on each binarized activation
+    # (magnitude restoration — see nn/binary.py ``_input_binarizer``).
+    act_scale: bool = False
     # Mixed-precision compute dtype (fp32 masters untouched).
     dtype: Optional[Any] = None
 
@@ -33,6 +36,7 @@ class BNNLeNet(fnn.Module):
                     kernel_size=(5, 5),
                     padding="VALID",
                     binarize_input=binarize_input,
+                    act_scale=self.act_scale,
                     use_bias=False,
                     dtype=self.dtype,
                     name=name,
@@ -45,7 +49,8 @@ class BNNLeNet(fnn.Module):
         def dense(f, name, binarize_input=True):
             if self.quantized:
                 return qnn.LinearBin(
-                    features=f, binarize_input=binarize_input, use_bias=False,
+                    features=f, binarize_input=binarize_input,
+                    act_scale=self.act_scale, use_bias=False,
                     dtype=self.dtype, name=name,
                 )
             return fnn.Dense(features=f, use_bias=False, dtype=self.dtype, name=name)

@@ -35,6 +35,27 @@ def _binary_weight_quant(deterministic: bool, ste_mode: str):
     )
 
 
+def _input_binarizer(mod: nn.Module, x, act_scale: bool):
+    """``binary_tanh`` input quantizer, optionally followed by a LEARNABLE
+    per-input-channel scale g (init 1) — magnitude restoration for the
+    binarized activation (the XNOR-K idea, made a trained parameter instead
+    of a computed map). A learnable pre-sign threshold (ReActNet RSign) is
+    deliberately NOT added: every binarization in the BNN models sits after a
+    BatchNorm whose per-channel bias already parameterizes the threshold
+    (max-pool between them commutes with the monotone affine). The scale is
+    deployment-free: g is per-INPUT-channel, so ``conv(g*sign(x), Wb) ==
+    conv(sign(x), g*Wb)`` — it folds into the kernel (or the previous
+    boundary's threshold epilogue) at export."""
+    if not act_scale:
+        return ops.binary_tanh
+    g = mod.param("act_scale", nn.initializers.ones_init(), (x.shape[-1],))
+
+    def quant(v):
+        return ops.binary_tanh(v) * g.astype(v.dtype)
+
+    return quant
+
+
 class LinearBin(nn.Module):
     """Binary-weight dense layer. ``deterministic=False`` -> stochastic
     binarization (needs ``rngs={'quant': key}`` at apply time)."""
@@ -42,6 +63,7 @@ class LinearBin(nn.Module):
     features: int
     deterministic: bool = True
     binarize_input: bool = False  # full-BNN mode
+    act_scale: bool = False  # learnable per-channel scale on the binarized input
     ste_mode: str = "clip"
     use_bias: bool = True
     dtype: Optional[Any] = None
@@ -51,7 +73,11 @@ class LinearBin(nn.Module):
         return QuantDense(
             features=self.features,
             weight_quant=_binary_weight_quant(self.deterministic, self.ste_mode),
-            input_quant=ops.binary_tanh if self.binarize_input else None,
+            input_quant=(
+                _input_binarizer(self, x, self.act_scale)
+                if self.binarize_input
+                else None
+            ),
             use_bias=self.use_bias,
             dtype=self.dtype,
             scheme="binary",
@@ -69,6 +95,7 @@ class BinConv(nn.Module):
     padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
     deterministic: bool = True
     binarize_input: bool = False
+    act_scale: bool = False
     ste_mode: str = "clip"
     use_bias: bool = True
     dtype: Optional[Any] = None
@@ -81,7 +108,11 @@ class BinConv(nn.Module):
             strides=self.strides,
             padding=self.padding,
             weight_quant=_binary_weight_quant(self.deterministic, self.ste_mode),
-            input_quant=ops.binary_tanh if self.binarize_input else None,
+            input_quant=(
+                _input_binarizer(self, x, self.act_scale)
+                if self.binarize_input
+                else None
+            ),
             use_bias=self.use_bias,
             dtype=self.dtype,
             scheme="binary",

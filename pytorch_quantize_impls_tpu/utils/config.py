@@ -77,6 +77,13 @@ SCHEME_CONFIGS = {
     # the training dynamics, so initialization does not transfer; budget
     # and width are the only levers (see ACCURACY.md scaling table).
     "bnn_lenet": _mk("bnn_lenet", w_bits=1, a_bits=1, width=128, steps=12000),
+    # bnn_lenet + the VERDICT r4 #3 lever: learnable per-input-channel scale
+    # on every binarized activation (nn/binary.py::_input_binarizer —
+    # magnitude restoration; the pre-sign threshold half of the lever is
+    # already parameterized by the preceding BatchNorm's bias).
+    "bnn_lenet_as": _mk(
+        "bnn_lenet_as", w_bits=1, a_bits=1, width=128, steps=12000
+    ),
     # warm_start (r5): QAT warm start from the fp32 twin takes this row
     # from -3.2% (cold, r4) to -0.08% — unlike plain-BNN bnn_lenet (where
     # warm start measured zero effect), the XNOR α/K scaling preserves the
@@ -255,9 +262,13 @@ def build_model(cfg: RunConfig, *, fp32: bool = False):
             (8, 8, 1),
             "digits",
         )
-    if cfg.config == "bnn_lenet":
+    if cfg.config in ("bnn_lenet", "bnn_lenet_as"):
         return (
-            models.BNNLeNet(quantized=q, width=cfg.width or 32),
+            models.BNNLeNet(
+                quantized=q,
+                width=cfg.width or 32,
+                act_scale=cfg.config.endswith("_as"),
+            ),
             (28, 28, 1),
             "mnist",
         )

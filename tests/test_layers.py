@@ -201,3 +201,60 @@ def test_gradients_flow_through_all_layers():
         g = jax.grad(lambda p: jnp.sum(layer.apply(p, X) ** 2))(params)
         leaves = jax.tree_util.tree_leaves(g)
         assert any(float(jnp.abs(l).sum()) > 0 for l in leaves), layer
+
+
+class TestActScale:
+    """Learnable per-input-channel scale on binarized activations
+    (``nn/binary.py::_input_binarizer``, the VERDICT r4 #3 magnitude-
+    restoration lever for full-BNN nets)."""
+
+    def test_param_created_and_default_identity(self):
+        layer = nn.LinearBin(features=8, binarize_input=True, act_scale=True)
+        params = layer.init(KEY, X)
+        g = params["params"]["act_scale"]
+        assert g.shape == (X.shape[-1],)
+        np.testing.assert_array_equal(np.asarray(g), 1.0)
+        # at the ones-init the layer IS plain full-BNN
+        plain = nn.LinearBin(features=8, binarize_input=True)
+        p2 = plain.init(KEY, X)
+        np.testing.assert_allclose(
+            np.asarray(layer.apply(params, X)),
+            np.asarray(plain.apply(p2, X)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_gradient_flows_to_scale(self):
+        layer = nn.LinearBin(features=8, binarize_input=True, act_scale=True)
+        params = layer.init(KEY, X)
+
+        def loss(p):
+            return jnp.sum(layer.apply(p, X) ** 2)
+
+        grads = jax.grad(loss)(params)
+        g = grads["params"]["act_scale"]
+        assert float(jnp.abs(g).sum()) > 0.0
+
+    def test_scale_folds_into_kernel(self):
+        """Deployment claim: per-input-channel g commutes into the kernel —
+        ``(g * sign(x)) @ Wb == sign(x) @ (g[:, None] * Wb)`` — so packed
+        export needs no new kernel, only a weight/epilogue transform."""
+        layer = nn.BinConv(
+            features=4, kernel_size=(3, 3), binarize_input=True,
+            act_scale=True, use_bias=False,
+        )
+        params = layer.init(KEY, IMG)
+        g = jax.random.uniform(
+            jax.random.PRNGKey(3), (IMG.shape[-1],), minval=0.5, maxval=2.0
+        )
+        params = jax.tree_util.tree_map(lambda x: x, params)  # copy
+        params["params"]["act_scale"] = g
+        y = layer.apply(params, IMG)
+        # fold: scale the binarized kernel's input-channel axis instead
+        wq = ops.binary_connect_det(params["params"]["conv"]["kernel"])
+        ib = ops.binary_tanh(IMG)
+        ref = jax.lax.conv_general_dilated(
+            ib, wq * g[None, None, :, None], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
