@@ -80,7 +80,10 @@ SCHEME_CONFIGS = {
     # bnn_lenet + the VERDICT r4 #3 lever: learnable per-input-channel scale
     # on every binarized activation (nn/binary.py::_input_binarizer —
     # magnitude restoration; the pre-sign threshold half of the lever is
-    # already parameterized by the preceding BatchNorm's bias).
+    # already parameterized by the preceding BatchNorm's bias). MEASURED
+    # (r5, seed 0, gated budget): Δ −4.06% vs −3.44% plain — the lever
+    # does NOT help this model; kept as the ablation config (ACCURACY.md
+    # bnn_lenet note).
     "bnn_lenet_as": _mk(
         "bnn_lenet_as", w_bits=1, a_bits=1, width=128, steps=12000
     ),
